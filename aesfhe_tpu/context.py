@@ -1,0 +1,69 @@
+"""EngineContext: key ownership + ergonomic encrypt/decrypt.
+
+TPU-native port of /root/reference/engine_context.py:9-85 -- supports the same
+three constructor signatures (default; max_level; log_coeff_count +
+special_prime_count), generates the full key family up front, and exposes
+encrypt/decrypt.
+"""
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import numpy as np
+
+from .core.engine import Engine
+from .core.params import CKKSParams, get_params
+
+
+class EngineContext:
+    def __init__(self, signature: int = 1, *,
+                 params: CKKSParams | None = None,
+                 profile: str | None = None,
+                 max_level: int | None = None,
+                 log_coeff_count: int | None = None,
+                 special_prime_count: int | None = None,
+                 mode: str = "cpu", use_bootstrap: bool = False,
+                 use_multiparty: bool = False, thread_count: int = 0,
+                 device_id: int = 0,
+                 fixed_rotations: Sequence[int] | None = None,
+                 generate_bootstrap_keys: bool | None = None):
+        # signature selects the desilofhe constructor variant
+        # (/root/reference/engine_context.py:32-58); all variants map onto the
+        # same CKKSParams knobs here.
+        del signature, use_multiparty, thread_count, device_id
+        self.engine = Engine(params, max_level=max_level,
+                             log_coeff_count=log_coeff_count,
+                             special_prime_count=special_prime_count,
+                             mode=mode, use_bootstrap=use_bootstrap,
+                             profile=profile)
+        # full key family up front (/root/reference/engine_context.py:62-73)
+        self.secret_key = self.engine.create_secret_key()
+        self.public_key = self.engine.create_public_key(self.secret_key)
+        self.relinearization_key = self.engine.create_relinearization_key(
+            self.secret_key)
+        self.conjugation_key = self.engine.create_conjugation_key(
+            self.secret_key)
+        self.rotation_key = self.engine.create_rotation_key(self.secret_key)
+        if fixed_rotations:
+            fixed = self.engine.create_fixed_rotation_key(
+                self.secret_key, list(fixed_rotations))
+            self.rotation_key.keys.update(fixed.keys)
+            self.fixed_rotation_key = fixed
+        else:
+            self.fixed_rotation_key = None
+        if generate_bootstrap_keys is None:
+            generate_bootstrap_keys = use_bootstrap
+        if generate_bootstrap_keys:
+            self.small_bootstrap_key = self.engine.create_small_bootstrap_key(
+                self.secret_key)
+            self.bootstrap_key = self.engine.create_bootstrap_key(
+                self.secret_key)
+        else:
+            self.small_bootstrap_key = None
+            self.bootstrap_key = None
+
+    def encrypt(self, data) -> Any:
+        return self.engine.encrypt(data, self.public_key)
+
+    def decrypt(self, ct) -> np.ndarray:
+        return self.engine.decrypt(ct, self.secret_key)

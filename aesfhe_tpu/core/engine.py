@@ -1,0 +1,615 @@
+"""The CKKS Engine: TPU-native replacement for the reference's closed-source
+`desilofhe.Engine` (API contract enumerated in SURVEY.md section 2.1).
+
+Every method mirrors a desilofhe call site in /root/reference:
+  encrypt/decrypt/encode      xor_service.py:59-66, engine_context.py:81-85
+  add / add_plain             xor_service.py:75-83
+  multiply (3 overloads)      xor_service.py:68-73
+  relinearize (raises on
+    degree-1 input)           xor_service.py:107-118
+  rotate (+k == np.roll +k)   xor_service.py:100-105, test/test_engine_rot.py:32-40
+  conjugate                   xor_service.py:88-89
+  make_power_basis            xor_service.py:85-86, sbox/sbox_service.py:91-93
+  evaluate_polynomial         sbox/sbox_service.py:172-188 (complex coeffs)
+  bootstrap                   xor_service.py:120-129
+  slot_count / Ciphertext.level
+
+Scale/level policy: every multiply auto-relinearizes (when a relin key is
+given) and auto-rescales, so `level` decreases by one per multiplicative
+depth, matching the reference's level-driven bootstrap checks
+(/root/reference/xor_service.py:274-277).  Adds transparently align operand
+levels and scales (exact scale tracking; sub-ulp adjustment via a scalar
+multiply when histories diverge).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from . import rns, ntt, encoding, ops_impl, keys as keys_mod
+from .params import CKKSParams, get_params
+from .ciphertext import Ciphertext, Plaintext, ScalarPlaintext
+from .keys import (SecretKey, PublicKey, SwitchKey, GaloisKeySet,
+                   gen_secret_key, gen_public_key, gen_relin_key,
+                   gen_galois_key, gen_rotation_keys)
+
+_SCALE_TOL = 1e-9
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def _encrypt_core(params, tabs, pk_b, pk_a, m_eval, v_eval, e0_eval, e1_eval):
+    rows = ops_impl._rows(params, params.top_level, False)
+    tr = ops_impl._tabs_rows(tabs, rows)
+    q = tr["q"].reshape((-1, 1))
+    qinv = tr["qinv"].reshape((-1, 1))
+    c0 = rns.add_mod(rns.add_mod(rns.mont_mul(v_eval, pk_b, q, qinv),
+                                 e0_eval, q), m_eval, q)
+    c1 = rns.add_mod(rns.mont_mul(v_eval, pk_a, q, qinv), e1_eval, q)
+    return jnp.stack([c0, c1])
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def _decrypt_core(params, tabs, data, s_eval):
+    level = data.shape[1] - 1
+    rows = ops_impl._rows(params, level, False)
+    tr = ops_impl._tabs_rows(tabs, rows)
+    q = tr["q"].reshape((-1, 1))
+    qinv = tr["qinv"].reshape((-1, 1))
+    s = s_eval[:level + 1]
+    acc = data[0]
+    spow = s
+    for i in range(1, data.shape[0]):
+        acc = rns.add_mod(acc, rns.mont_mul(data[i], spow, q, qinv), q)
+        if i + 1 < data.shape[0]:
+            spow = rns.mont_mul(spow, s, q, qinv)
+    coeff = ops_impl.intt_rows(acc, tr)
+    return rns.from_mont(coeff, q, qinv)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 3))
+def _encode_core(params, tabs, residues, level: int):
+    rows = ops_impl._rows(params, level, False)
+    tr = ops_impl._tabs_rows(tabs, rows)
+    q = tr["q"].reshape((-1, 1))
+    xm = rns.to_mont(residues, q, tr["qinv"].reshape((-1, 1)),
+                     tr["r2"].reshape((-1, 1)))
+    return ops_impl.ntt_rows(xm, tr)
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def _rotate_core(params, tabs, data, perm, key_b, key_a):
+    """Permute a degree-1 ct and key-switch its c1 back under s."""
+    p0 = data[0][..., perm]
+    p1 = data[1][..., perm]
+    b, a = ops_impl.keyswitch(params, tabs, p1, key_b, key_a)
+    level = data.shape[1] - 1
+    tr = ops_impl._tabs_rows(tabs, ops_impl._rows(params, level, False))
+    q = tr["q"].reshape((-1, 1))
+    return jnp.stack([rns.add_mod(p0, b, q), a])
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def _relin_core(params, tabs, data, key_b, key_a):
+    b, a = ops_impl.keyswitch(params, tabs, data[2], key_b, key_a)
+    level = data.shape[1] - 1
+    tr = ops_impl._tabs_rows(tabs, ops_impl._rows(params, level, False))
+    q = tr["q"].reshape((-1, 1))
+    return jnp.stack([rns.add_mod(data[0], b, q),
+                      rns.add_mod(data[1], a, q)])
+
+
+class Engine:
+    """Parameter-owning CKKS engine (see module docstring for the contract)."""
+
+    def __init__(self, params: CKKSParams | None = None, *,
+                 max_level: int | None = None, log_coeff_count: int | None = None,
+                 special_prime_count: int | None = None, mode: str = "cpu",
+                 use_bootstrap: bool = False, use_multiparty: bool = False,
+                 thread_count: int = 0, device_id: int = 0,
+                 profile: str | None = None):
+        # `mode`/`thread_count`/`device_id` are accepted for constructor parity
+        # with desilofhe (/root/reference/engine_context.py:32-58); JAX device
+        # placement supersedes them.
+        del use_multiparty, thread_count, device_id, mode
+        if params is None:
+            kw = {}
+            if log_coeff_count is not None:
+                kw["n"] = 1 << log_coeff_count
+            if max_level is not None:
+                kw["max_level"] = max_level
+            if special_prime_count is not None:
+                kw["num_special_primes"] = special_prime_count
+            params = get_params(profile or "test", **kw) if kw else \
+                get_params(profile or "test")
+        self.params = params
+        self.use_bootstrap = use_bootstrap
+        self.tabs = ops_impl.DeviceTables.build(params)
+        self._bootstrapper = None
+        # FHE cost ~= op counts, so counters are the first-class profile
+        # (the reference has only ad-hoc time.time() prints, SURVEY.md sec. 5)
+        self.counters = {k: 0 for k in
+                         ("ct_mul", "pt_mul", "scalar_mul", "add", "rescale",
+                          "keyswitch", "rotate", "conjugate", "bootstrap")}
+
+    def reset_counters(self):
+        for k in self.counters:
+            self.counters[k] = 0
+
+    def _count(self, key, n=1):
+        self.counters[key] += n
+
+    # ------------------------------------------------------------------
+    @property
+    def slot_count(self) -> int:
+        return self.params.slot_count
+
+    @property
+    def max_level(self) -> int:
+        return self.params.max_level
+
+    # ----- key generation ---------------------------------------------
+    def create_secret_key(self) -> SecretKey:
+        return gen_secret_key(self.params, self.tabs)
+
+    def create_public_key(self, sk: SecretKey) -> PublicKey:
+        return gen_public_key(self.params, self.tabs, sk)
+
+    def create_relinearization_key(self, sk: SecretKey) -> SwitchKey:
+        return gen_relin_key(self.params, self.tabs, sk)
+
+    def create_conjugation_key(self, sk: SecretKey) -> SwitchKey:
+        return gen_galois_key(self.params, self.tabs, sk,
+                              self.params.conj_galois_elt)
+
+    def create_rotation_key(self, sk: SecretKey) -> GaloisKeySet:
+        return gen_rotation_keys(self.params, self.tabs, sk)
+
+    def create_fixed_rotation_key(self, sk: SecretKey,
+                                  steps: Sequence[int]) -> GaloisKeySet:
+        return gen_rotation_keys(self.params, self.tabs, sk, list(steps))
+
+    def create_small_bootstrap_key(self, sk: SecretKey):
+        from .. import bootstrap as _bs
+        return _bs.create_bootstrap_key(self, sk, small=True)
+
+    def create_bootstrap_key(self, sk: SecretKey):
+        from .. import bootstrap as _bs
+        return _bs.create_bootstrap_key(self, sk, small=False)
+
+    # ----- encode / encrypt / decrypt ---------------------------------
+    def encode(self, vec, level: int | None = None,
+               scale: float | None = None) -> Plaintext:
+        level = self.params.top_level if level is None else level
+        scale = self.params.scale if scale is None else scale
+        coeffs = encoding.slots_to_coeffs(np.asarray(vec), self.params, scale)
+        res = encoding.coeffs_to_rns(coeffs,
+                                     self.params.active_primes(level))
+        data = _encode_core(self.params, self.tabs,
+                            jnp.asarray(res.astype(np.uint32)), level)
+        return Plaintext(data=data, scale=scale)
+
+    def encrypt(self, data, pk: PublicKey) -> Ciphertext:
+        params = self.params
+        arr = np.asarray(data)
+        pt = encoding.slots_to_coeffs(arr, params, params.scale)
+        m_res = encoding.coeffs_to_rns(pt, params.q_primes)
+        rows = np.arange(params.num_q, dtype=np.int32)
+        m_eval = _encode_core(params, self.tabs,
+                              jnp.asarray(m_res.astype(np.uint32)),
+                              params.top_level)
+        v = keys_mod._sample_ternary(params.n)
+        e0 = keys_mod._sample_gauss(params.n, params.error_std)
+        e1 = keys_mod._sample_gauss(params.n, params.error_std)
+        v_eval = keys_mod._to_eval(params, self.tabs,
+                                   keys_mod._int_to_rns(v, params.q_primes),
+                                   rows)
+        e0_eval = keys_mod._to_eval(params, self.tabs,
+                                    keys_mod._int_to_rns(e0, params.q_primes),
+                                    rows)
+        e1_eval = keys_mod._to_eval(params, self.tabs,
+                                    keys_mod._int_to_rns(e1, params.q_primes),
+                                    rows)
+        data_dev = _encrypt_core(params, self.tabs, pk.b, pk.a, m_eval,
+                                 v_eval, e0_eval, e1_eval)
+        return Ciphertext(data=data_dev, scale=params.scale)
+
+    def decrypt(self, ct: Ciphertext, sk: SecretKey) -> np.ndarray:
+        params = self.params
+        residues = np.asarray(
+            _decrypt_core(params, self.tabs, ct.data, sk.s_eval))
+        vals = rns.crt_to_centered_float(
+            residues.astype(np.uint64), params.active_primes(ct.level))
+        return encoding.coeffs_to_slots(vals, params, ct.scale)
+
+    # ----- level/scale alignment --------------------------------------
+    def _drop(self, ct: Ciphertext, level: int) -> Ciphertext:
+        if ct.level == level:
+            return ct
+        assert ct.level > level
+        return Ciphertext(ops_impl.ct_drop_to(self.params, ct.data, level),
+                          ct.scale)
+
+    def _min_mul_level(self) -> int:
+        # keep `rescale_primes` bottom primes for decryption headroom
+        return 2 * self.params.rescale_primes - 1
+
+    def _check_levels(self, lvl: int):
+        if lvl < self._min_mul_level():
+            raise RuntimeError("out of levels: bootstrap required")
+
+    def _rescale(self, ct: Ciphertext) -> Ciphertext:
+        """Drop one *scale unit*: `rescale_primes` primes (1 for scales
+        <= 2^29, a pair for the high-precision 2^52 mode)."""
+        self._count("rescale")
+        for _ in range(self.params.rescale_primes):
+            ql = self.params.q_primes[ct.level]
+            data = ops_impl.ct_rescale(self.params, self.tabs, ct.data)
+            ct = Ciphertext(data, ct.scale / ql)
+        return ct
+
+    def _scalar_mul_consts(self, value: complex, scale: float, level: int,
+                           mont: bool) -> jnp.ndarray:
+        """Per-limb encodings of a slot-constant complex value.
+
+        Shoup form (mont=False): [l+1, 4] (re_w, re_sh, imz_w, imz_sh)
+        Montgomery form (mont=True): [l+1, 2] (re_m, imz_m)   (for add)
+        """
+        params = self.params
+        re_i = int(round(value.real * scale))
+        im_i = int(round(value.imag * scale))
+        L = level + 1
+        out = np.zeros((L, 2 if mont else 4), dtype=np.uint32)
+        for i in range(L):
+            q = params.q_primes[i]
+            re_q = re_i % q
+            imz_q = (im_i * int(params.zeta4[i])) % q
+            if mont:
+                out[i, 0] = (re_q << 32) % q
+                out[i, 1] = (imz_q << 32) % q
+            else:
+                out[i, 0] = re_q
+                out[i, 1] = rns.shoup_precompute(re_q, q)
+                out[i, 2] = imz_q
+                out[i, 3] = rns.shoup_precompute(imz_q, q)
+        return jnp.asarray(out)
+
+    def _adjust_scale(self, ct: Ciphertext, target_scale: float) -> Ciphertext:
+        """Multiply by 1.0 encoded at sigma so that after rescale the scale is
+        exactly target_scale.  Consumes one level."""
+        qprod = 1.0
+        for i in range(self.params.rescale_primes):
+            qprod *= self.params.q_primes[ct.level - i]
+        sigma = target_scale * qprod / ct.scale
+        consts = self._scalar_mul_consts(1.0 + 0j, sigma, ct.level, mont=False)
+        data = ops_impl.ct_mul_scalar_pt(self.params, self.tabs, ct.data,
+                                         consts)
+        tmp = Ciphertext(data, ct.scale * sigma)
+        out = self._rescale(tmp)
+        return Ciphertext(out.data, target_scale)
+
+    def _align_add(self, a: Ciphertext, b: Ciphertext):
+        lvl = min(a.level, b.level)
+        a = self._drop(a, lvl)
+        b = self._drop(b, lvl)
+        if abs(a.scale - b.scale) / max(a.scale, b.scale) > _SCALE_TOL:
+            if a.scale > b.scale:
+                a = self._adjust_scale(a, b.scale)
+                b = self._drop(b, a.level)
+            else:
+                b = self._adjust_scale(b, a.scale)
+                a = self._drop(a, b.level)
+        return a, b
+
+    # ----- arithmetic --------------------------------------------------
+    def add(self, a: Ciphertext, b) -> Ciphertext:
+        if isinstance(b, Ciphertext):
+            a, b = self._align_add(a, b)
+            if a.degree != b.degree:
+                # pad the smaller one with zero polys
+                if a.degree < b.degree:
+                    a, b = b, a
+                pad = jnp.zeros((a.degree - b.degree,) + b.data.shape[1:],
+                                dtype=b.data.dtype)
+                b = Ciphertext(jnp.concatenate([b.data, pad]), b.scale)
+            return Ciphertext(ops_impl.ct_add(self.params, self.tabs,
+                                              a.data, b.data), a.scale)
+        if isinstance(b, Plaintext):
+            return self._add_dense_pt(a, b.data[:a.level + 1], b.scale)
+        if isinstance(b, ScalarPlaintext):
+            return self._add_scalar(a, b.value, b.scale)
+        if np.isscalar(b):
+            return self._add_scalar(a, complex(b), a.scale)
+        # numpy vector: encode at matching scale
+        pt = self.encode(np.asarray(b), level=a.level, scale=a.scale)
+        return self._add_dense_pt(a, pt.data, pt.scale)
+
+    def _add_dense_pt(self, a: Ciphertext, pt_data, pt_scale) -> Ciphertext:
+        if abs(a.scale - pt_scale) / max(a.scale, pt_scale) > _SCALE_TOL:
+            raise ValueError("plaintext scale mismatch in add")
+        level = a.level
+        tr = ops_impl._tabs_rows(self.tabs,
+                                 ops_impl._rows(self.params, level, False))
+        q = tr["q"].reshape((-1, 1))
+        c0 = rns.add_mod(a.data[0], pt_data[:level + 1], q)
+        return Ciphertext(a.data.at[0].set(c0), a.scale)
+
+    def _add_scalar(self, a: Ciphertext, value: complex,
+                    scale: float) -> Ciphertext:
+        consts = self._scalar_mul_consts(value, a.scale, a.level, mont=True)
+        data = ops_impl.ct_add_scalar_pt(self.params, self.tabs, a.data,
+                                         consts)
+        return Ciphertext(data, a.scale)
+
+    def add_plain(self, ct: Ciphertext, val) -> Ciphertext:
+        return self.add(ct, val)
+
+    def sub(self, a: Ciphertext, b: Ciphertext) -> Ciphertext:
+        a, b = self._align_add(a, b)
+        return Ciphertext(ops_impl.ct_sub(self.params, self.tabs,
+                                          a.data, b.data), a.scale)
+
+    def negate(self, a: Ciphertext) -> Ciphertext:
+        return Ciphertext(ops_impl.ct_negate(self.params, self.tabs, a.data),
+                          a.scale)
+
+    def multiply(self, a, b, relin_key: SwitchKey | None = None) -> Ciphertext:
+        if isinstance(a, Ciphertext) and isinstance(b, Ciphertext):
+            return self._mul_ct_ct(a, b, relin_key)
+        if isinstance(a, Ciphertext):
+            return self._mul_ct_pt(a, b)
+        if isinstance(b, Ciphertext):
+            return self._mul_ct_pt(b, a)
+        raise TypeError("multiply requires at least one Ciphertext")
+
+    def _mul_ct_ct(self, a: Ciphertext, b: Ciphertext,
+                   relin_key: SwitchKey | None) -> Ciphertext:
+        lvl = min(a.level, b.level)
+        self._check_levels(lvl)
+        a = self._drop(a, lvl)
+        b = self._drop(b, lvl)
+        if a.degree != 1 or b.degree != 1:
+            raise RuntimeError("multiply expects degree-1 (relinearized) inputs")
+        self._count("ct_mul")
+        d = ops_impl.ct_tensor(self.params, self.tabs, a.data, b.data)
+        ct = Ciphertext(d, a.scale * b.scale)
+        if relin_key is not None:
+            self._count("keyswitch")
+            data = _relin_core(self.params, self.tabs, ct.data,
+                               relin_key.b, relin_key.a)
+            ct = Ciphertext(data, ct.scale)
+        return self._rescale(ct)
+
+    def _mul_ct_pt(self, a: Ciphertext, b) -> Ciphertext:
+        if isinstance(b, Plaintext):
+            self._check_levels(a.level)
+            pt = b.data[:a.level + 1]
+            self._count("pt_mul")
+            data = ops_impl.ct_mul_dense_pt(self.params, self.tabs, a.data, pt)
+            return self._rescale(Ciphertext(data, a.scale * b.scale))
+        if isinstance(b, ScalarPlaintext):
+            return self._mul_scalar(a, b.value, b.scale)
+        if np.isscalar(b):
+            return self._mul_scalar(a, complex(b), self.params.scale)
+        b = np.asarray(b)
+        if b.ndim == 0:
+            return self._mul_scalar(a, complex(b), self.params.scale)
+        pt = self.encode(b, level=a.level, scale=self.params.scale)
+        return self._mul_ct_pt(a, pt)
+
+    def _mul_scalar(self, a: Ciphertext, value: complex,
+                    scale: float) -> Ciphertext:
+        self._check_levels(a.level)
+        self._count("scalar_mul")
+        consts = self._scalar_mul_consts(value, scale, a.level, mont=False)
+        data = ops_impl.ct_mul_scalar_pt(self.params, self.tabs, a.data,
+                                         consts)
+        return self._rescale(Ciphertext(data, a.scale * scale))
+
+    def multiply_plain(self, ct: Ciphertext, val) -> Ciphertext:
+        return self._mul_ct_pt(ct, val)
+
+    def relinearize(self, ct: Ciphertext, relin_key: SwitchKey) -> Ciphertext:
+        if ct.degree != 2:
+            # message parity with desilofhe so EngineWrapper.relinearize's
+            # except-branch works (/root/reference/xor_service.py:107-118)
+            raise RuntimeError("Ciphertext should have 3 polynomials")
+        data = _relin_core(self.params, self.tabs, ct.data,
+                           relin_key.b, relin_key.a)
+        return Ciphertext(data, ct.scale)
+
+    # ----- Galois ------------------------------------------------------
+    def rotate(self, ct: Ciphertext, rot_keys: GaloisKeySet,
+               steps: int) -> Ciphertext:
+        """rotate(ct, k): decrypted slots equal np.roll(slots, k)
+        (/root/reference/test/test_engine_rot.py:32-40)."""
+        sc = self.params.slot_count
+        steps = steps % sc
+        if steps == 0:
+            return ct
+        if ct.degree != 1:
+            raise RuntimeError("rotate expects a degree-1 ciphertext")
+        out = ct
+        g_direct = self.params.rot_galois_elt(steps)
+        if g_direct in rot_keys.keys:
+            return self._apply_galois(out, g_direct, rot_keys.keys[g_direct])
+        remaining = steps
+        p2 = 1
+        while remaining:
+            if remaining & 1:
+                g = self.params.rot_galois_elt(p2)
+                if g not in rot_keys.keys:
+                    raise KeyError(f"no rotation key for step {p2}")
+                out = self._apply_galois(out, g, rot_keys.keys[g])
+            remaining >>= 1
+            p2 <<= 1
+        return out
+
+    def conjugate(self, ct: Ciphertext, conj_key: SwitchKey) -> Ciphertext:
+        return self._apply_galois(ct, self.params.conj_galois_elt, conj_key)
+
+    def _apply_galois(self, ct: Ciphertext, g: int,
+                      key: SwitchKey) -> Ciphertext:
+        self._count("keyswitch")
+        self._count("conjugate" if g == self.params.conj_galois_elt
+                    else "rotate")
+        perm = jnp.asarray(self.params.galois_perm(g))
+        data = _rotate_core(self.params, self.tabs, ct.data, perm,
+                            key.b, key.a)
+        return Ciphertext(data, ct.scale)
+
+    # ----- polynomial helpers -----------------------------------------
+    def make_power_basis(self, ct: Ciphertext, degree: int,
+                         relin_key: SwitchKey,
+                         normalize: bool = True) -> list[Ciphertext]:
+        """[ct^1, ..., ct^degree] (index i -> power i+1), binary-depth ladder
+        (log2(degree) levels instead of the reference's linear chain,
+        /root/reference/sbox/sbox_service.py:91-93).
+
+        With normalize=True (default) every power is brought to one common
+        (level, scale=Delta) so downstream fused sums (linear_combination /
+        inner_product) need no per-term scale juggling: different ladder
+        depths divide by different primes, so raw power scales drift apart
+        by ~q_i/q_j (the drift is exact-tracked, then squashed here by one
+        scalar multiply per power).
+        """
+        powers: dict[int, Ciphertext] = {1: ct}
+        for k in range(2, degree + 1):
+            lo = k // 2
+            hi = k - lo
+            powers[k] = self._mul_ct_ct(powers[lo], powers[hi], relin_key)
+        out = [powers[i] for i in range(1, degree + 1)]
+        if normalize and degree > 1:
+            target = self.params.scale
+            adjusted = []
+            for p in out:
+                if abs(p.scale - target) / target > _SCALE_TOL:
+                    p = self._adjust_scale(p, target)
+                adjusted.append(p)
+            lmin = min(p.level for p in adjusted)
+            out = [self._drop(p, lmin) for p in adjusted]
+        return out
+
+    def evaluate_polynomial(self, ct: Ciphertext, coeffs,
+                            relin_key: SwitchKey) -> Ciphertext:
+        """Evaluate sum_k coeffs[k] * ct^k with complex coefficients.
+
+        Unlike desilofhe's real-only evaluate_polynomial (the reference works
+        around it manually, /root/reference/sbox/sbox_service.py:190-205),
+        complex coefficients are supported natively.
+        """
+        coeffs = [complex(c) for c in np.asarray(coeffs).tolist()]
+        deg = len(coeffs) - 1
+        basis = self.make_power_basis(ct, deg, relin_key)
+        acc = None
+        for k in range(1, deg + 1):
+            c = coeffs[k]
+            if c == 0:
+                continue
+            term = self._mul_scalar(basis[k - 1], c, self.params.scale)
+            acc = term if acc is None else self.add(acc, term)
+        if acc is None:
+            acc = self._mul_scalar(ct, 0.0, self.params.scale)
+        if coeffs[0] != 0:
+            acc = self._add_scalar(acc, coeffs[0], acc.scale)
+        return acc
+
+    # ----- TPU-first fused reductions ---------------------------------
+    def linear_combination(self, cts: Sequence[Ciphertext],
+                           coeffs: Sequence[complex],
+                           constant: complex = 0.0) -> Ciphertext:
+        """sum_k coeffs[k] * cts[k] (+ constant), with ONE rescale total.
+
+        The reference evaluates LUT sums as per-term multiply+add engine
+        round-trips (/root/reference/sbox/sbox_service.py:96-114,
+        xor_service.py:283-286); here all scalar products fuse into a single
+        XLA kernel and the rescale (level cost) is paid once.
+        """
+        pairs = [(ct, complex(c)) for ct, c in zip(cts, coeffs) if c != 0]
+        if not pairs:
+            z = self._mul_scalar(cts[0], 0.0, self.params.scale)
+            if constant != 0:
+                z = self._add_scalar(z, complex(constant), z.scale)
+            return z
+        cts = [p[0] for p in pairs]
+        coeffs = [p[1] for p in pairs]
+        lvl = min(ct.level for ct in cts)
+        aligned = [self._drop(ct, lvl) for ct in cts]
+        # all inputs must share one scale for a meaningful sum; adjust any
+        # stragglers (rare -- power bases built by make_power_basis share
+        # scale at equal level)
+        base_scale = max(ct.scale for ct in aligned)
+        fixed = []
+        redo = False
+        for ct in aligned:
+            if abs(ct.scale - base_scale) / base_scale > _SCALE_TOL:
+                redo = True
+                break
+        if redo:
+            target = min(ct.scale for ct in aligned)
+            tmp = []
+            for ct in aligned:
+                if abs(ct.scale - target) / target > _SCALE_TOL:
+                    ct = self._adjust_scale(ct, target)
+                tmp.append(ct)
+            lvl = min(ct.level for ct in tmp)
+            aligned = [self._drop(ct, lvl) for ct in tmp]
+            base_scale = target
+        self._check_levels(lvl)
+        deg = max(ct.degree for ct in aligned)
+        datas = []
+        for ct in aligned:
+            d = ct.data
+            if ct.degree < deg:
+                pad = jnp.zeros((deg - ct.degree,) + d.shape[1:], d.dtype)
+                d = jnp.concatenate([d, pad])
+            datas.append(d)
+        stack = jnp.stack(datas)                       # [K, deg+1, l+1, N]
+        consts = jnp.stack([
+            self._scalar_mul_consts(complex(c), self.params.scale, lvl,
+                                    mont=False)
+            for c in coeffs])                          # [K, l+1, 4]
+        data = ops_impl.ct_linear_combo(self.params, self.tabs, stack, consts)
+        out = Ciphertext(data, base_scale * self.params.scale)
+        if constant != 0:
+            out = self._add_scalar(out, complex(constant) , out.scale)
+        return self._rescale(out)
+
+    def inner_product(self, lhs: Sequence[Ciphertext],
+                      rhs: Sequence[Ciphertext],
+                      relin_key: SwitchKey) -> Ciphertext:
+        """sum_k lhs[k] * rhs[k] with ONE relinearization + ONE rescale.
+
+        Replaces the reference's per-term ct*ct multiply/relin hot loop
+        (/root/reference/xor_service.py:283-286: 64 relins per 4-bit XOR)
+        with a batched tensor-sum; the key-switch is hoisted outside the sum.
+        """
+        assert len(lhs) == len(rhs) and lhs
+        lvl = min(min(ct.level for ct in lhs), min(ct.level for ct in rhs))
+        self._check_levels(lvl)
+        la = [self._drop(ct, lvl) for ct in lhs]
+        rb = [self._drop(ct, lvl) for ct in rhs]
+        scale_a = la[0].scale
+        scale_b = rb[0].scale
+        for ct in la:
+            if abs(ct.scale - scale_a) / scale_a > _SCALE_TOL:
+                raise ValueError("inner_product lhs scales differ")
+        for ct in rb:
+            if abs(ct.scale - scale_b) / scale_b > _SCALE_TOL:
+                raise ValueError("inner_product rhs scales differ")
+        a_stack = jnp.stack([ct.data for ct in la])    # [K, 2, l+1, N]
+        b_stack = jnp.stack([ct.data for ct in rb])
+        d = ops_impl.ct_tensor_sum(self.params, self.tabs, a_stack, b_stack)
+        ct = Ciphertext(d, scale_a * scale_b)
+        data = _relin_core(self.params, self.tabs, ct.data,
+                           relin_key.b, relin_key.a)
+        return self._rescale(Ciphertext(data, ct.scale))
+
+    # ----- bootstrap (delegated) --------------------------------------
+    def bootstrap(self, ct: Ciphertext, relin_key: SwitchKey,
+                  conj_key: SwitchKey, bootstrap_key) -> Ciphertext:
+        from .. import bootstrap as _bs
+        return _bs.bootstrap(self, ct, relin_key, conj_key, bootstrap_key)

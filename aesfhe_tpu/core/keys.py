@@ -1,0 +1,194 @@
+"""Key generation: secret, public, relinearization, Galois (rotation /
+conjugation) keys for the hybrid RNS key-switch.
+
+Mirrors the key family of the reference's EngineContext
+(/root/reference/engine_context.py:62-73): secret, public, relinearization,
+conjugation, rotation (power-of-two ladder for arbitrary steps), and fixed
+rotation keys.  Bootstrap keys are created by aesfhe_tpu.bootstrap.
+
+Randomness: numpy PCG64 (research-grade parity with the reference; not a
+hardened CSPRNG -- swap `_rng` for an OS entropy source for production use).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any
+
+import numpy as np
+import jax.numpy as jnp
+
+from . import rns, ntt, ops_impl
+from .params import CKKSParams
+
+_rng = np.random.default_rng()
+
+
+def seed_keygen(seed: int):
+    global _rng
+    _rng = np.random.default_rng(seed)
+
+
+@dataclass
+class SecretKey:
+    s_eval: Any          # uint32 [L_tot, N] Montgomery eval (all primes)
+    s_coeff: np.ndarray  # int8 [N] ternary, host (for debugging/bootstrap)
+
+
+@dataclass
+class PublicKey:
+    b: Any               # [num_q, N]
+    a: Any
+
+
+@dataclass
+class SwitchKey:
+    """Key switching s' -> s: per digit group (b_j, a_j) over the full basis."""
+    b: Any               # [dnum, L_tot, N]
+    a: Any
+
+
+@dataclass
+class GaloisKeySet:
+    keys: dict           # galois element -> SwitchKey
+
+
+def _sample_ternary(n: int) -> np.ndarray:
+    u = _rng.random(n)
+    return np.where(u < 0.25, -1, np.where(u < 0.5, 1, 0)).astype(np.int64)
+
+
+def _sample_gauss(n: int, std: float) -> np.ndarray:
+    return np.round(_rng.normal(0.0, std, n)).astype(np.int64)
+
+
+def _sample_uniform_rns(primes, shape) -> np.ndarray:
+    """Independent uniform residues per prime == uniform mod prod (CRT)."""
+    out = np.zeros((len(primes),) + shape, dtype=np.uint32)
+    for i, q in enumerate(primes):
+        out[i] = _rng.integers(0, q, shape, dtype=np.uint32)
+    return out
+
+
+def _int_to_rns(v: np.ndarray, primes) -> np.ndarray:
+    """Signed int64 [.., N] -> uint32 residues [L, ..]."""
+    out = np.zeros((len(primes),) + v.shape, dtype=np.uint32)
+    for i, q in enumerate(primes):
+        out[i] = np.mod(v, np.int64(q)).astype(np.uint32)
+    return out
+
+
+def _to_eval(params: CKKSParams, tabs, residues_u32, rows) -> Any:
+    """Plain coeff residues [L, N] (numpy) -> Montgomery eval (device)."""
+    tr = ops_impl._tabs_rows(tabs, rows)
+    x = jnp.asarray(residues_u32)
+    q = tr["q"].reshape((-1, 1))
+    xm = rns.to_mont(x, q, tr["qinv"].reshape((-1, 1)),
+                     tr["r2"].reshape((-1, 1)))
+    return ops_impl.ntt_rows(xm, tr)
+
+
+def gen_secret_key(params: CKKSParams, tabs) -> SecretKey:
+    s = _sample_ternary(params.n)
+    res = _int_to_rns(s, params.all_primes)
+    rows = np.arange(params.L_tot, dtype=np.int32)
+    return SecretKey(_to_eval(params, tabs, res, rows), s.astype(np.int8))
+
+
+def gen_public_key(params: CKKSParams, tabs, sk: SecretKey) -> PublicKey:
+    primes = params.q_primes
+    rows = np.arange(params.num_q, dtype=np.int32)
+    a_res = _sample_uniform_rns(primes, (params.n,))
+    e_res = _int_to_rns(_sample_gauss(params.n, params.error_std), primes)
+    a_eval = _to_eval(params, tabs, a_res, rows)
+    e_eval = _to_eval(params, tabs, e_res, rows)
+    tr = ops_impl._tabs_rows(tabs, rows)
+    q = tr["q"].reshape((-1, 1))
+    s_q = sk.s_eval[:params.num_q]
+    b = rns.add_mod(
+        rns.neg_mod(rns.mont_mul(a_eval, s_q, q, tr["qinv"].reshape((-1, 1))),
+                    q),
+        e_eval, q)
+    return PublicKey(b=b, a=a_eval)
+
+
+def gen_switch_key(params: CKKSParams, tabs, sk: SecretKey,
+                   s_prime_eval) -> SwitchKey:
+    """ksk_j = (-a_j s + e_j + P * g_j * s', a_j) over QP.
+
+    The per-group gadget P*g_j is, in RNS, simply (P mod q_i) on the group's
+    own primes and 0 elsewhere (including the special primes) -- see
+    SURVEY.md section 2.1 / the hybrid key-switch notes in ops_impl.keyswitch.
+    """
+    L_tot = params.L_tot
+    n = params.n
+    rows = np.arange(L_tot, dtype=np.int32)
+    tr = ops_impl._tabs_rows(tabs, rows)
+    q = tr["q"].reshape((-1, 1))
+    qinv = tr["qinv"].reshape((-1, 1))
+    P = 1
+    for p in params.special_primes:
+        P *= p
+    b_list, a_list = [], []
+    for grp in params.groups:
+        a_res = _sample_uniform_rns(params.all_primes, (n,))
+        e_res = _int_to_rns(_sample_gauss(n, params.error_std),
+                            params.all_primes)
+        a_eval = _to_eval(params, tabs, a_res, rows)
+        e_eval = _to_eval(params, tabs, e_res, rows)
+        b = rns.add_mod(
+            rns.neg_mod(rns.mont_mul(a_eval, sk.s_eval, q, qinv), q),
+            e_eval, q)
+        # + P*g_j*s' on the group's own prime rows
+        pg = np.zeros((L_tot, 1), dtype=np.uint32)
+        pg_sh = np.zeros((L_tot, 1), dtype=np.uint32)
+        for i in grp:
+            qi = params.q_primes[i]
+            w = P % qi
+            pg[i, 0] = w
+            pg_sh[i, 0] = rns.shoup_precompute(w, qi)
+        term = rns.shoup_mul(s_prime_eval, jnp.asarray(pg), jnp.asarray(pg_sh),
+                             q)
+        b = rns.add_mod(b, term, q)
+        b_list.append(b)
+        a_list.append(a_eval)
+    return SwitchKey(b=jnp.stack(b_list), a=jnp.stack(a_list))
+
+
+def gen_relin_key(params: CKKSParams, tabs, sk: SecretKey) -> SwitchKey:
+    rows = np.arange(params.L_tot, dtype=np.int32)
+    tr = ops_impl._tabs_rows(tabs, rows)
+    q = tr["q"].reshape((-1, 1))
+    s2 = rns.mont_mul(sk.s_eval, sk.s_eval, q, tr["qinv"].reshape((-1, 1)))
+    return gen_switch_key(params, tabs, sk, s2)
+
+
+def gen_galois_key(params: CKKSParams, tabs, sk: SecretKey,
+                   galois_elt: int) -> SwitchKey:
+    perm = jnp.asarray(params.galois_perm(galois_elt))
+    s_g = sk.s_eval[..., perm]
+    return gen_switch_key(params, tabs, sk, s_g)
+
+
+def gen_rotation_keys(params: CKKSParams, tabs, sk: SecretKey,
+                      steps: list[int] | None = None) -> GaloisKeySet:
+    """Power-of-two ladder (both signs) for arbitrary-step rotation, plus any
+    explicitly requested steps (create_fixed_rotation_key parity,
+    /root/reference/engine_context.py:68-69)."""
+    sc = params.slot_count
+    wanted: set[int] = set()
+    if steps is None:
+        p2 = 1
+        while p2 < sc:
+            wanted.add(p2)
+            wanted.add(sc - p2)   # == -p2 mod sc
+            p2 *= 2
+    else:
+        for s in steps:
+            wanted.add(s % sc)
+    wanted.discard(0)
+    keys = {}
+    for s in sorted(wanted):
+        g = params.rot_galois_elt(s)
+        if g not in keys:
+            keys[g] = gen_galois_key(params, tabs, sk, g)
+    return GaloisKeySet(keys=keys)

@@ -1,0 +1,431 @@
+"""Jitted CKKS primitive operations (device side).
+
+Every function here is traced once per (params, shape) combination and
+compiled by XLA; the Python loops over RNS limbs / digit groups / NTT stages
+unroll into one fused graph per op.  This replaces desilofhe's per-op native
+FFI boundary (SURVEY.md section 3: "every eng.* call crosses the Python->native
+boundary ... no fusion") with whole-op XLA compilation.
+
+Conventions: uint32 Montgomery form; ciphertext polys in NTT evaluation
+domain; `tabs` is a DeviceTables pytree of device-resident constant tables.
+"""
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Any
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from . import rns, ntt
+from .params import CKKSParams
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class DeviceTables:
+    w: Any
+    w_sh: Any
+    wi: Any
+    wi_sh: Any
+    ninv: Any
+    ninv_sh: Any
+    q: Any
+    qinv: Any
+    r2: Any
+    magic: Any
+    xhalf_sign_neg: Any   # [N] bool: eval slots where X^(N/2) = -zeta4
+
+    def tree_flatten(self):
+        vals = (self.w, self.w_sh, self.wi, self.wi_sh, self.ninv,
+                self.ninv_sh, self.q, self.qinv, self.r2, self.magic,
+                self.xhalf_sign_neg)
+        return vals, None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    @staticmethod
+    def build(params: CKKSParams) -> "DeviceTables":
+        t = params.tables
+        return DeviceTables(
+            w=jnp.asarray(t.w), w_sh=jnp.asarray(t.w_sh),
+            wi=jnp.asarray(t.wi), wi_sh=jnp.asarray(t.wi_sh),
+            ninv=jnp.asarray(t.ninv), ninv_sh=jnp.asarray(t.ninv_sh),
+            q=jnp.asarray(params.q_arr), qinv=jnp.asarray(params.qinv_arr),
+            r2=jnp.asarray(params.r2_arr), magic=jnp.asarray(params.magic_arr),
+            xhalf_sign_neg=jnp.asarray(params.xhalf_sign_neg))
+
+
+def _rows(params: CKKSParams, level: int, with_special: bool):
+    """Row indices into the all_primes axis for the active basis."""
+    r = list(range(level + 1))
+    if with_special:
+        r += list(range(params.num_q, params.L_tot))
+    return np.asarray(r, dtype=np.int32)
+
+
+def _tabs_rows(tabs: DeviceTables, rows):
+    ri = jnp.asarray(rows)
+    return dict(w=tabs.w[ri], w_sh=tabs.w_sh[ri], wi=tabs.wi[ri],
+                wi_sh=tabs.wi_sh[ri], ninv=tabs.ninv[ri],
+                ninv_sh=tabs.ninv_sh[ri], q=tabs.q[ri], qinv=tabs.qinv[ri],
+                r2=tabs.r2[ri], magic=tabs.magic[ri])
+
+
+def ntt_rows(x, tr):
+    return ntt.ntt_fwd(x, tr["w"], tr["w_sh"], tr["q"])
+
+
+def intt_rows(x, tr):
+    return ntt.ntt_inv(x, tr["wi"], tr["wi_sh"], tr["q"], tr["ninv"],
+                       tr["ninv_sh"])
+
+
+# ---------------------------------------------------------------------------
+# Elementwise ciphertext ops (eval domain)
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnums=0)
+def ct_add(params: CKKSParams, tabs: DeviceTables, a, b):
+    level = a.shape[1] - 1
+    tr = _tabs_rows(tabs, _rows(params, level, False))
+    q = tr["q"].reshape((1, -1, 1))
+    return rns.add_mod(a, b, q)
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def ct_sub(params: CKKSParams, tabs: DeviceTables, a, b):
+    level = a.shape[1] - 1
+    tr = _tabs_rows(tabs, _rows(params, level, False))
+    q = tr["q"].reshape((1, -1, 1))
+    return rns.sub_mod(a, b, q)
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def ct_negate(params: CKKSParams, tabs: DeviceTables, a):
+    level = a.shape[1] - 1
+    tr = _tabs_rows(tabs, _rows(params, level, False))
+    q = tr["q"].reshape((1, -1, 1))
+    return rns.neg_mod(a, q)
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def ct_tensor(params: CKKSParams, tabs: DeviceTables, a, b):
+    """Degree-1 x degree-1 tensor product -> degree-2 data [3, l+1, N]."""
+    level = a.shape[1] - 1
+    tr = _tabs_rows(tabs, _rows(params, level, False))
+    q = tr["q"].reshape((-1, 1))
+    qinv = tr["qinv"].reshape((-1, 1))
+    d0 = rns.mont_mul(a[0], b[0], q, qinv)
+    cross1 = rns.mont_mul(a[0], b[1], q, qinv)
+    cross2 = rns.mont_mul(a[1], b[0], q, qinv)
+    d1 = rns.add_mod(cross1, cross2, q)
+    d2 = rns.mont_mul(a[1], b[1], q, qinv)
+    return jnp.stack([d0, d1, d2])
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def ct_mul_dense_pt(params: CKKSParams, tabs: DeviceTables, a, pt):
+    """ct [k, l+1, N] x dense plaintext [l+1, N]."""
+    level = a.shape[1] - 1
+    tr = _tabs_rows(tabs, _rows(params, level, False))
+    q = tr["q"].reshape((1, -1, 1))
+    qinv = tr["qinv"].reshape((1, -1, 1))
+    return rns.mont_mul(a, pt[None], q, qinv)
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def ct_mul_scalar_pt(params: CKKSParams, tabs: DeviceTables, a, consts):
+    """ct x slot-constant complex plaintext.
+
+    consts: uint32 [l+1, 4]: columns (re_w, re_shoup, imz_w, imz_shoup) where
+    re = round(Re(c)*scale) mod q and imz = round(Im(c)*scale)*zeta4 mod q.
+    Eval of the plaintext at slot i is re + s_i*imz with s_i = +-1
+    (tabs.xhalf_sign_neg); multiply distributes over the two terms.
+    """
+    level = a.shape[1] - 1
+    tr = _tabs_rows(tabs, _rows(params, level, False))
+    q = tr["q"].reshape((1, -1, 1))
+    re_w = consts[:, 0].reshape((1, -1, 1))
+    re_sh = consts[:, 1].reshape((1, -1, 1))
+    imz_w = consts[:, 2].reshape((1, -1, 1))
+    imz_sh = consts[:, 3].reshape((1, -1, 1))
+    t_re = rns.shoup_mul(a, re_w, re_sh, q)
+    t_im = rns.shoup_mul(a, imz_w, imz_sh, q)
+    neg = tabs.xhalf_sign_neg[None, None, :]
+    return jnp.where(neg, rns.sub_mod(t_re, t_im, q),
+                     rns.add_mod(t_re, t_im, q))
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def ct_add_scalar_pt(params: CKKSParams, tabs: DeviceTables, a, consts_mont):
+    """ct + slot-constant complex plaintext.
+
+    consts_mont: uint32 [l+1, 2]: (re_mont, imz_mont) -- Montgomery-form
+    integers round(Re(c)*scale) and round(Im(c)*scale)*zeta4 mod q.  Only the
+    degree-0 component changes.
+    """
+    level = a.shape[1] - 1
+    tr = _tabs_rows(tabs, _rows(params, level, False))
+    q = tr["q"].reshape((-1, 1))
+    re_m = consts_mont[:, 0].reshape((-1, 1))
+    imz_m = consts_mont[:, 1].reshape((-1, 1))
+    neg = tabs.xhalf_sign_neg[None, :]
+    pt_eval = jnp.where(neg, rns.sub_mod(re_m, imz_m, q),
+                        rns.add_mod(re_m, imz_m, q))
+    c0 = rns.add_mod(a[0], pt_eval, q)
+    return a.at[0].set(c0)
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def ct_linear_combo(params: CKKSParams, tabs: DeviceTables, stack, consts):
+    """sum_k stack[k] * scalar_pt(consts[k]) -- fused LUT-sum kernel.
+
+    stack: [K, deg+1, l+1, N]; consts: [K, l+1, 4] Shoup pairs (see
+    ct_mul_scalar_pt).  Returns [deg+1, l+1, N] (caller rescales once).
+    """
+    K = stack.shape[0]
+    level = stack.shape[2] - 1
+    tr = _tabs_rows(tabs, _rows(params, level, False))
+    q = tr["q"].reshape((1, 1, -1, 1))
+    re_w = consts[:, None, :, 0:1]
+    re_sh = consts[:, None, :, 1:2]
+    imz_w = consts[:, None, :, 2:3]
+    imz_sh = consts[:, None, :, 3:4]
+    t_re = rns.shoup_mul(stack, re_w, re_sh, q)
+    t_im = rns.shoup_mul(stack, imz_w, imz_sh, q)
+    neg = tabs.xhalf_sign_neg[None, None, None, :]
+    terms = jnp.where(neg, rns.sub_mod(t_re, t_im, q),
+                      rns.add_mod(t_re, t_im, q))
+    acc = terms[0]
+    q3 = q[0]
+    for k in range(1, K):
+        acc = rns.add_mod(acc, terms[k], q3)
+    return acc
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def ct_tensor_sum(params: CKKSParams, tabs: DeviceTables, a_stack, b_stack):
+    """sum_k tensor(a[k], b[k]) -> degree-2 data [3, l+1, N].
+
+    a_stack/b_stack: [K, 2, l+1, N].  One fused kernel; the caller does a
+    single relinearization of the sum (key-switch hoisting).
+    """
+    K = a_stack.shape[0]
+    level = a_stack.shape[2] - 1
+    tr = _tabs_rows(tabs, _rows(params, level, False))
+    q = tr["q"].reshape((1, -1, 1))
+    qinv = tr["qinv"].reshape((1, -1, 1))
+    a0, a1 = a_stack[:, 0], a_stack[:, 1]      # [K, l+1, N]
+    b0, b1 = b_stack[:, 0], b_stack[:, 1]
+    d0 = rns.mont_mul(a0, b0, q, qinv)
+    d1 = rns.add_mod(rns.mont_mul(a0, b1, q, qinv),
+                     rns.mont_mul(a1, b0, q, qinv), q)
+    d2 = rns.mont_mul(a1, b1, q, qinv)
+    qr = tr["q"].reshape((-1, 1))
+    acc0, acc1, acc2 = d0[0], d1[0], d2[0]
+    for k in range(1, K):
+        acc0 = rns.add_mod(acc0, d0[k], qr)
+        acc1 = rns.add_mod(acc1, d1[k], qr)
+        acc2 = rns.add_mod(acc2, d2[k], qr)
+    return jnp.stack([acc0, acc1, acc2])
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def ct_automorphism(params: CKKSParams, tabs: DeviceTables, a, perm):
+    """Apply Galois automorphism as an eval-domain gather; perm int32 [N]."""
+    return a[..., perm]
+
+
+# ---------------------------------------------------------------------------
+# Rescale and level drop
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnums=0)
+def ct_rescale(params: CKKSParams, tabs: DeviceTables, a):
+    """Drop top prime q_l; out[i] = (a[i] - lift(a[l])) / q_l mod q_i.
+
+    a: [k, l+1, N] -> [k, l, N].  Exact RNS rescale with centered lifting of
+    the dropped limb (rounding division).
+    """
+    k, lp1, n = a.shape
+    level = lp1 - 1
+    assert level >= 1, "no levels left to rescale"
+    ql = int(params.q_primes[level])
+    rows_rest = _rows(params, level - 1, False)
+    tr_rest = _tabs_rows(tabs, rows_rest)
+    tr_last = _tabs_rows(tabs, np.asarray([level], dtype=np.int32))
+    # 1) dropped limb -> plain coefficients
+    last = a[:, level:level + 1, :]                      # [k,1,N] mont eval
+    last_coeff = intt_rows(last, tr_last)
+    last_plain = rns.from_mont(last_coeff, tr_last["q"].reshape(1, -1, 1),
+                               tr_last["qinv"].reshape(1, -1, 1))  # [k,1,N]
+    # 2) centered lift into each remaining modulus
+    q_rest = tr_rest["q"].reshape((1, -1, 1))
+    magic_rest = tr_rest["magic"].reshape((1, -1, 1))
+    ql_u = jnp.uint32(ql)
+    half = jnp.uint32((ql + 1) // 2)
+    red = rns.barrett_reduce(last_plain, q_rest, magic_rest)  # [k,L',N]
+    ql_mod = jnp.asarray(
+        np.asarray([ql % int(q) for q in np.asarray(params.q_primes[:level])],
+                   dtype=np.uint32)).reshape((1, -1, 1))
+    lifted = jnp.where(last_plain >= half,
+                       rns.sub_mod(red, ql_mod, q_rest), red)
+    # 3) to Montgomery, NTT under each remaining modulus
+    lifted_m = rns.to_mont(lifted, q_rest, tr_rest["qinv"].reshape((1, -1, 1)),
+                           tr_rest["r2"].reshape((1, -1, 1)))
+    lifted_eval = ntt_rows(lifted_m, tr_rest)
+    # 4) subtract and multiply by q_l^{-1}
+    qlinv = np.asarray(
+        [pow(ql, -1, int(q)) for q in params.q_primes[:level]], dtype=np.uint32)
+    qlinv_sh = np.asarray(
+        [rns.shoup_precompute(int(wv), int(q))
+         for wv, q in zip(qlinv, params.q_primes[:level])], dtype=np.uint32)
+    diff = rns.sub_mod(a[:, :level, :], lifted_eval, q_rest)
+    out = rns.shoup_mul(diff, jnp.asarray(qlinv).reshape((1, -1, 1)),
+                        jnp.asarray(qlinv_sh).reshape((1, -1, 1)), q_rest)
+    return out
+
+
+def ct_drop_to(params: CKKSParams, a, target_level: int):
+    """Modulus switch down by simply dropping limbs (scale unchanged)."""
+    return a[:, :target_level + 1, :]
+
+
+# ---------------------------------------------------------------------------
+# Hybrid key-switch
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnums=0)
+def keyswitch(params: CKKSParams, tabs: DeviceTables, c_eval, key_b, key_a):
+    """Switch a single polynomial c (under s') to a pair under s.
+
+    c_eval: [l+1, N] Montgomery eval (the s'-component, e.g. d2 or rotated c1)
+    key_b/key_a: [dnum, L_tot, N] Montgomery eval over the full basis.
+    Returns (b, a): [l+1, N] each, Montgomery eval, scale unchanged.
+    """
+    lp1, n = c_eval.shape
+    level = lp1 - 1
+    kst = params.ks_tables(level)
+    basis = kst["basis"]                       # numpy uint32 [M]
+    M = len(basis)
+    K = params.num_special
+    rows_q = _rows(params, level, False)
+    rows_b = _rows(params, level, True)        # active q + specials
+    tr_q = _tabs_rows(tabs, rows_q)
+    tr_b = _tabs_rows(tabs, rows_b)
+
+    # 1) c -> plain coefficient domain
+    c_coeff = intt_rows(c_eval, tr_q)
+    c_plain = rns.from_mont(c_coeff, tr_q["q"].reshape(-1, 1),
+                            tr_q["qinv"].reshape(-1, 1))     # [l+1, N]
+
+    # 2) per digit group: scale by inverse-hat, extend to the full basis
+    q_basis = jnp.asarray(basis).reshape((-1, 1))            # [M,1]
+    digits_ext = []
+    for g in kst["groups"]:
+        limbs = g["limbs"]
+        cg = c_plain[jnp.asarray(np.asarray(limbs, dtype=np.int32))]  # [a,N]
+        qg = jnp.asarray(np.asarray([params.q_primes[i] for i in limbs],
+                                    dtype=np.uint32)).reshape((-1, 1))
+        y = rns.shoup_mul(cg, jnp.asarray(g["inv_w"]).reshape((-1, 1)),
+                          jnp.asarray(g["inv_sh"]).reshape((-1, 1)), qg)
+        # ext[m] = sum_a y_a * (Qt/q_a mod basis_m)  mod basis_m
+        acc = None
+        for a_i in range(len(limbs)):
+            term = rns.shoup_mul(
+                y[a_i][None, :],
+                jnp.asarray(g["conv_w"][a_i]).reshape((-1, 1)),
+                jnp.asarray(g["conv_sh"][a_i]).reshape((-1, 1)),
+                q_basis)                                      # [M, N]
+            acc = term if acc is None else rns.add_mod(acc, term, q_basis)
+        digits_ext.append(acc)
+    dstack = jnp.stack(digits_ext)                            # [d, M, N] plain
+
+    # 3) Montgomery + NTT under every basis modulus (batched over digits)
+    qb = tr_b["q"].reshape((1, -1, 1))
+    dm = rns.to_mont(dstack, qb, tr_b["qinv"].reshape((1, -1, 1)),
+                     tr_b["r2"].reshape((1, -1, 1)))
+    d_eval = ntt_rows(dm, tr_b)                               # [d, M, N]
+
+    # 4) inner product with the key (rows: active q + specials)
+    rows_key = jnp.asarray(rows_b)
+    acc_b = None
+    acc_a = None
+    qinv_b = tr_b["qinv"].reshape((1, -1, 1))
+    for j in range(d_eval.shape[0]):
+        kb = key_b[j][rows_key]                               # [M, N]
+        ka = key_a[j][rows_key]
+        tb = rns.mont_mul(d_eval[j], kb, qb[0], qinv_b[0])
+        ta = rns.mont_mul(d_eval[j], ka, qb[0], qinv_b[0])
+        acc_b = tb if acc_b is None else rns.add_mod(acc_b, tb, qb[0])
+        acc_a = ta if acc_a is None else rns.add_mod(acc_a, ta, qb[0])
+
+    # 5) mod-down by the special primes
+    b_out = _mod_down_specials(params, tabs, acc_b, level)
+    a_out = _mod_down_specials(params, tabs, acc_a, level)
+    return b_out, a_out
+
+
+def _mod_down_specials(params: CKKSParams, tabs: DeviceTables, x, level: int):
+    """x: [l+1+K, N] over (active q | specials) -> [l+1, N] = round(x / P).
+
+    Divides by the special primes one at a time; centered lifting of each
+    dropped limb gives rounding (not floor) division, the standard hybrid
+    key-switch mod-down.
+    """
+    K = params.num_special
+    lp1 = level + 1
+    cur = x[:lp1]                                    # q part [l+1, N]
+    spec = [x[lp1 + i:lp1 + i + 1] for i in range(K)]  # each [1, N] eval
+    tr_q = _tabs_rows(tabs, _rows(params, level, False))
+    qv = tr_q["q"].reshape((-1, 1))
+    for si in range(K):
+        p = int(params.special_primes[si])
+        sp_row = np.asarray([params.num_q + si], dtype=np.int32)
+        tr_s = _tabs_rows(tabs, sp_row)
+        d_coeff = intt_rows(spec[si], tr_s)          # [1, N]
+        d_plain = rns.from_mont(d_coeff, tr_s["q"].reshape(-1, 1),
+                                tr_s["qinv"].reshape(-1, 1))    # [1, N]
+        half = jnp.uint32((p + 1) // 2)
+        neg_branch = d_plain >= half                 # [1, N]
+        # --- update the q part: cur = (cur - lift(d)) * p^-1 mod q_i ---
+        red = rns.barrett_reduce(d_plain, qv, tr_q["magic"].reshape((-1, 1)))
+        p_mod = jnp.asarray(np.asarray(
+            [p % int(q) for q in params.q_primes[:lp1]],
+            dtype=np.uint32)).reshape((-1, 1))
+        lifted = jnp.where(neg_branch, rns.sub_mod(red, p_mod, qv), red)
+        lifted_m = rns.to_mont(lifted, qv, tr_q["qinv"].reshape((-1, 1)),
+                               tr_q["r2"].reshape((-1, 1)))
+        lifted_eval = ntt_rows(lifted_m, tr_q)
+        diff = rns.sub_mod(cur, lifted_eval, qv)
+        pinv = np.asarray([pow(p, -1, int(q)) for q in params.q_primes[:lp1]],
+                          dtype=np.uint32)
+        pinv_sh = np.asarray(
+            [rns.shoup_precompute(int(wv), int(q))
+             for wv, q in zip(pinv, params.q_primes[:lp1])], dtype=np.uint32)
+        cur = rns.shoup_mul(diff, jnp.asarray(pinv).reshape((-1, 1)),
+                            jnp.asarray(pinv_sh).reshape((-1, 1)), qv)
+        # --- update the remaining special limbs the same way ---
+        for sj in range(si + 1, K):
+            pj = int(params.special_primes[sj])
+            qs = jnp.uint32(pj)
+            redj = rns.barrett_reduce(d_plain, qs,
+                                      jnp.uint32(rns.barrett_magic(pj)))
+            liftedj = jnp.where(neg_branch,
+                                rns.sub_mod(redj, jnp.uint32(p % pj), qs), redj)
+            trj = _tabs_rows(tabs, np.asarray([params.num_q + sj],
+                                              dtype=np.int32))
+            lm = rns.to_mont(liftedj, qs, trj["qinv"].reshape(-1, 1),
+                             trj["r2"].reshape(-1, 1))
+            le = ntt_rows(lm, trj)
+            dj = rns.sub_mod(spec[sj], le, qs)
+            pinvj = pow(p, -1, pj)
+            spec[sj] = rns.shoup_mul(
+                dj, jnp.uint32(pinvj),
+                jnp.uint32(rns.shoup_precompute(pinvj, pj)), qs)
+    return cur

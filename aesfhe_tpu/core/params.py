@@ -1,0 +1,247 @@
+"""CKKS parameter sets for the TPU engine.
+
+The modulus chain is a list of NTT-friendly primes < 2^30 (so that all device
+modular arithmetic closes over exact uint32 ops, see core/rns.py):
+
+  primes[0]            ~2^30   decryption headroom prime
+  primes[1..max_level] ~Delta  rescale primes, alternating above/below Delta
+  special_primes       ~2^30   hybrid key-switch auxiliary modulus P
+
+A ciphertext at level l carries limbs primes[:l+1]; multiply consumes one
+level (auto-rescale).  `max_level` mirrors the reference's Engine(max_level=…)
+constructor knob (/root/reference/engine_context.py:41-47,
+/root/reference/xor_service.py:24).
+
+Key-switching is hybrid RNS (dnum digit groups + special primes), replacing
+desilofhe's native key-switch (SURVEY.md section 2.1).
+"""
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from . import rns, ntt
+
+
+class CKKSParams:
+    """Static parameter set + precomputed tables.  Hash/eq by identity so it
+    can be a static argument to jax.jit."""
+
+    def __init__(self, n: int, max_level: int, scale_bits: int,
+                 first_prime_bits: int = 30, special_prime_bits: int = 30,
+                 num_special_primes: int = 2, alpha: int | None = None,
+                 error_std: float = 3.2):
+        assert n & (n - 1) == 0
+        self.n = n
+        self.logn = n.bit_length() - 1
+        self.slot_count = n // 2
+        self.max_level = max_level
+        self.scale_bits = scale_bits
+        self.scale = float(2 ** scale_bits)
+        self.error_std = error_std
+        two_n = 2 * n
+
+        # All primes must stay <= 2^30 for exact uint32 arithmetic; scales
+        # above that use pairs of half-size primes, with every multiply
+        # rescaling by a pair (rescale_primes == 2).  This is the precision
+        # mode the degree-255 byte-domain LUTs need: relative error of ct^d
+        # grows ~ d * (noise/scale), and zeta256 phase decoding tolerates
+        # only ~1.2e-2 (see SURVEY.md section 7 "hard parts" item 4).
+        self.rescale_primes = 1 if scale_bits <= 29 else 2
+        r = self.rescale_primes
+        assert scale_bits <= 58, "scale above 2^58 unsupported"
+        half_bits = scale_bits if r == 1 else (scale_bits + 1) // 2
+        first = rns.find_ntt_primes(first_prime_bits, two_n, r)
+        rescale = rns.find_ntt_primes(half_bits, two_n, r * max_level,
+                                      skip=tuple(first))
+        specials = rns.find_ntt_primes(special_prime_bits, two_n,
+                                       num_special_primes,
+                                       skip=tuple(first) + tuple(rescale))
+        self.q_primes = tuple(first + rescale)
+        # top_level indexes LIMBS (q_primes), while max_level counts
+        # multiplicative DEPTH (rescale units of `rescale_primes` primes)
+        self.top_level = len(self.q_primes) - 1
+        self.special_primes = tuple(specials)
+        self.all_primes = self.q_primes + self.special_primes
+        self.num_q = len(self.q_primes)
+        self.num_special = len(self.special_primes)
+        self.L_tot = len(self.all_primes)
+        assert all(q <= (1 << 30) for q in self.all_primes)
+
+        # Digit groups over the q-prime chain (hybrid key-switch).  The
+        # special modulus P must dominate every digit product Qt_j, so the
+        # group size alpha defaults to the number of special primes.
+        alpha = num_special_primes if alpha is None else alpha
+        self.alpha = alpha
+        self.groups = [list(range(g0, min(g0 + alpha, self.num_q)))
+                       for g0 in range(0, self.num_q, alpha)]
+        self.dnum = len(self.groups)
+        P = 1
+        for p in self.special_primes:
+            P *= p
+        for grp in self.groups:
+            qt = 1
+            for i in grp:
+                qt *= self.q_primes[i]
+            assert qt < P, (
+                "digit product exceeds special modulus P; "
+                "increase num_special_primes or reduce alpha")
+
+        # NTT tables over the full basis
+        self.tables = ntt.NTTTables(n, self.all_primes)
+
+        # Montgomery / Barrett constants per prime (host numpy; cast on use)
+        qinv = np.zeros(self.L_tot, dtype=np.uint32)
+        r2 = np.zeros(self.L_tot, dtype=np.uint32)
+        magic = np.zeros(self.L_tot, dtype=np.uint32)
+        for i, q in enumerate(self.all_primes):
+            qi, r2i = rns.montgomery_consts(q)
+            qinv[i] = qi
+            r2[i] = r2i
+            magic[i] = rns.barrett_magic(q)
+        self.q_arr = np.asarray(self.all_primes, dtype=np.uint32)
+        self.qinv_arr = qinv
+        self.r2_arr = r2
+        self.magic_arr = magic
+
+        # evaluation-order structure (same for every prime; empirical once)
+        sigma = ntt.eval_order_exponents(n, self.all_primes[0],
+                                         self.tables.psi[0])
+        self.sigma = np.asarray(sigma, dtype=np.int64)       # [N] odd exps
+        pos = np.zeros(two_n, dtype=np.int64)
+        for i, e in enumerate(sigma):
+            pos[e] = i
+        self.pos_of_exp = pos                                 # odd e -> slot
+        # CKKS slot ordering: slot j lives at exponent 5^j mod 2N, conjugate
+        # at 2N - 5^j.
+        slot_exp = np.zeros(self.slot_count, dtype=np.int64)
+        e = 1
+        for j in range(self.slot_count):   # slot_exp[j] = 5^j mod 2N
+            slot_exp[j] = e
+            e = (e * 5) % two_n
+        self.slot_exp = slot_exp
+        self.slot_pos = pos[slot_exp]                         # [N/2]
+        self.conj_slot_pos = pos[(two_n - slot_exp) % two_n]  # [N/2]
+
+        # eval values of X^(N/2): psi^(sigma_i * N/2) = +-zeta4; sign pattern
+        self.xhalf_sign_neg = (self.sigma % 4) == 3           # [N] bool
+        # zeta4 = psi^(N/2) per prime (plain domain)
+        zeta4 = np.zeros(self.L_tot, dtype=np.uint64)
+        for i, q in enumerate(self.all_primes):
+            zeta4[i] = pow(self.tables.psi[i], n // 2, q)
+        self.zeta4 = zeta4                                    # [L_tot] plain
+
+        # psi_C for host canonical embedding: exp(i*pi/N); fixed orientation.
+        k = np.arange(n)
+        self.psi_c_pow = np.exp(1j * np.pi * k / n)           # psi_C^k
+        self.psi_c_pow_inv = np.exp(-1j * np.pi * k / n)
+
+        self._galois_perm_cache: dict[int, np.ndarray] = {}
+        self._ks_tables_cache: dict[int, dict] = {}
+
+    # -- identity hashing so params can be a jit static arg ----------------
+    def __hash__(self):
+        return id(self)
+
+    def __eq__(self, other):
+        return self is other
+
+    # ------------------------------------------------------------------
+    def galois_perm(self, g: int) -> np.ndarray:
+        """Eval-domain gather indices for automorphism X -> X^g:
+        out[i] = in[perm[i]] with perm[i] = pos[(sigma[i]*g) mod 2N]."""
+        g = g % (2 * self.n)
+        if g not in self._galois_perm_cache:
+            tgt = (self.sigma * g) % (2 * self.n)
+            self._galois_perm_cache[g] = self.pos_of_exp[tgt].astype(np.int32)
+        return self._galois_perm_cache[g]
+
+    def rot_galois_elt(self, steps: int) -> int:
+        """Galois element implementing rotate(ct, steps) == np.roll(slots, steps).
+
+        sigma_5 maps slot j -> content of slot j+1 (left roll); rolling right
+        by +steps therefore uses 5^(+steps)... orientation is pinned by
+        tests/test_engine.py::test_rotate_matches_roll; see engine.rotate.
+        """
+        sc = self.slot_count
+        return pow(5, (-steps) % sc, 2 * self.n)
+
+    @property
+    def conj_galois_elt(self) -> int:
+        return 2 * self.n - 1
+
+    # ------------------------------------------------------------------
+    def active_primes(self, level: int) -> tuple[int, ...]:
+        return self.q_primes[:level + 1]
+
+    def ks_tables(self, level: int) -> dict:
+        """Per-level constants for hybrid key-switch basis extension.
+
+        For each digit group j (restricted to active primes at `level`) with
+        partial product Qt_j = prod of active group primes:
+          inv[j][i]   = (Qt_j / q_i)^(-1) mod q_i          (plain, Shoup pair)
+          conv[j][i][m] = (Qt_j / q_i) mod basis_m          (plain, Shoup pair)
+        basis = active q primes + special primes.
+        """
+        if level in self._ks_tables_cache:
+            return self._ks_tables_cache[level]
+        act = list(range(level + 1))
+        basis = [self.all_primes[i] for i in act] + list(self.special_primes)
+        groups = [[i for i in grp if i <= level] for grp in self.groups]
+        groups = [g for g in groups if g]
+        out_groups = []
+        for grp in groups:
+            qt = 1
+            for i in grp:
+                qt *= self.q_primes[i]
+            inv_w = np.zeros(len(grp), dtype=np.uint32)
+            inv_sh = np.zeros(len(grp), dtype=np.uint32)
+            conv_w = np.zeros((len(grp), len(basis)), dtype=np.uint32)
+            conv_sh = np.zeros((len(grp), len(basis)), dtype=np.uint32)
+            for a, i in enumerate(grp):
+                qi = self.q_primes[i]
+                hat = qt // qi
+                w = pow(hat % qi, -1, qi)
+                inv_w[a] = w
+                inv_sh[a] = rns.shoup_precompute(w, qi)
+                for m, qm in enumerate(basis):
+                    hm = hat % qm
+                    conv_w[a, m] = hm
+                    conv_sh[a, m] = rns.shoup_precompute(hm, qm)
+            out_groups.append(dict(limbs=grp, inv_w=inv_w, inv_sh=inv_sh,
+                                   conv_w=conv_w, conv_sh=conv_sh))
+        tabs = dict(basis=np.asarray(basis, dtype=np.uint32), groups=out_groups)
+        self._ks_tables_cache[level] = tabs
+        return tabs
+
+
+_PROFILES = dict(
+    tiny=dict(n=1 << 10, max_level=8, scale_bits=26, num_special_primes=2),
+    test=dict(n=1 << 12, max_level=16, scale_bits=26, num_special_primes=3),
+    # deep: small insecure ring with a long chain, for exercising the full
+    # AES round circuits in CI without bootstrap
+    deep=dict(n=1 << 12, max_level=32, scale_bits=26, num_special_primes=6),
+    # hp: high-precision 2^52 scale (prime-pair rescale) for the byte-domain
+    # degree-255 LUT services (GF/S-box/256x256-XOR)
+    hp=dict(n=1 << 12, max_level=12, scale_bits=52, num_special_primes=3),
+    prod=dict(n=1 << 16, max_level=35, scale_bits=27, num_special_primes=6),
+    # prod_hp: full-size high-precision ring, ~128-bit secure
+    # (logQP = 60 + 48*26 + 6*30 = 1488 < 1792 for N=2^16)
+    prod_hp=dict(n=1 << 16, max_level=24, scale_bits=52,
+                 num_special_primes=6),
+)
+
+
+@functools.lru_cache(maxsize=None)
+def _profile(name: str) -> "CKKSParams":
+    return CKKSParams(**_PROFILES[name])
+
+
+def get_params(profile: str = "test", **overrides) -> CKKSParams:
+    if overrides:
+        base = dict(_PROFILES[profile])
+        base.update(overrides)
+        return CKKSParams(**base)
+    return _profile(profile)

@@ -1,0 +1,433 @@
+"""Homomorphic XOR / AddRoundKey services.
+
+TPU-native port of /root/reference/xor_service.py (XORConfig, EngineWrapper,
+CoefficientCache, FullXORCache, XORService).  Same service API -- including
+the *intended* constructor the reference's tests assume (explicit nibble and
+full-XOR cache injection, /root/reference/test/test_xor_service.py:17-27,
+SURVEY.md section 4 WIP notes) -- with a TPU-first evaluation strategy:
+
+  reference hot loop (xor_cipher, xor_service.py:283-286):
+      64 sequential ct*ct multiplies + 64 relinearizations + 64 adds
+  here:
+      8 fused linear-combination kernels (one rescale each) +
+      one batched tensor-sum with a single hoisted relinearization
+
+Domain conventions (the reference's WIP code mixes these up; see SURVEY.md
+sections 3.5/4): a byte b is zeta256^b; a nibble v is zeta16^v.  Nibble
+extraction returns zeta16-domain nibbles; recombination lifts the low nibble
+back to zeta256 via the lo_lift LUT instead of the reference's broken
+power-of-16 recombine (/root/reference/xor_service.py:541-547).
+"""
+from __future__ import annotations
+
+import json
+from functools import lru_cache
+from pathlib import Path
+from typing import Any, Dict, Tuple
+
+import numpy as np
+
+from ..context import EngineContext
+from ..core.engine import Engine
+from ..core.ciphertext import Ciphertext, ScalarPlaintext
+from .zeta import ZetaEncoder, split_nibbles
+from ..coeffs import generate as coeffgen
+
+COEFF_DIR = coeffgen.COEFF_DIR
+
+
+class XORConfig:
+    """Configuration (port of /root/reference/xor_service.py:16-33, extended
+    with the nibble/full-XOR paths the reference's tests pass)."""
+
+    def __init__(self,
+                 coeffs_path: Path = COEFF_DIR / "xor_mono_coeffs.json",
+                 nibble_hi_path: Path = COEFF_DIR / "nibble_hi16_coeffs.json",
+                 nibble_lo_path: Path = COEFF_DIR / "nibble_test.json",
+                 mul_coeffs_path: Path = COEFF_DIR / "xor_256x256_coeffs.json",
+                 lo_lift_path: Path = COEFF_DIR / "lo_lift_coeffs.json",
+                 max_level: int | None = None,
+                 mode: str = "parallel",
+                 thread_count: int = 8,
+                 device_id: int = 0,
+                 profile: str | None = None,
+                 params=None,
+                 use_bootstrap: bool = False):
+        self.coeffs_path = Path(coeffs_path)
+        self.nibble_hi_path = Path(nibble_hi_path)
+        self.nibble_lo_path = Path(nibble_lo_path)
+        self.mul_coeffs_path = Path(mul_coeffs_path)
+        self.mul_path = self.mul_coeffs_path          # test alias
+        self.lo_lift_path = Path(lo_lift_path)
+        self.max_level = max_level
+        self.mode = mode
+        self.thread_count = thread_count
+        self.device_id = device_id
+        self.profile = profile
+        self.params = params
+        self.use_bootstrap = use_bootstrap
+
+
+class EngineWrapper:
+    """Ergonomic op facade (port of /root/reference/xor_service.py:36-129)."""
+
+    def __init__(self, config: XORConfig | None = None, *,
+                 ctx: EngineContext | None = None):
+        config = config or XORConfig()
+        if ctx is None:
+            ctx = EngineContext(
+                signature=1,
+                params=config.params,
+                profile=config.profile,
+                use_bootstrap=config.use_bootstrap,
+                max_level=config.max_level,
+                mode=config.mode,
+                thread_count=config.thread_count,
+                device_id=config.device_id,
+            )
+        self.ctx = ctx
+        self.engine: Engine = ctx.engine
+        self.public_key = ctx.public_key
+        self.secret_key = ctx.secret_key
+        self.relin_key = ctx.relinearization_key
+        self.conj_key = ctx.conjugation_key
+        self.rot_key = ctx.rotation_key
+        self.boot_key = ctx.bootstrap_key
+
+    def encrypt(self, data):
+        return self.engine.encrypt(np.asarray(data), self.public_key)
+
+    def decrypt(self, ct) -> np.ndarray:
+        return self.engine.decrypt(ct, self.secret_key)
+
+    def encode(self, vec):
+        return self.engine.encode(np.asarray(vec))
+
+    def multiply(self, a, b, relin_key=None):
+        if isinstance(a, Ciphertext) and isinstance(b, Ciphertext):
+            return self.engine.multiply(a, b, relin_key or self.relin_key)
+        return self.engine.multiply(a, b)
+
+    def add(self, a, b):
+        return self.engine.add(a, b)
+
+    def add_plain(self, ct, val):
+        return self.engine.add_plain(ct, val)
+
+    def make_power_basis(self, ct, degree: int):
+        return self.engine.make_power_basis(ct, degree, self.relin_key)
+
+    def conjugate(self, ct):
+        return self.engine.conjugate(ct, self.conj_key)
+
+    def multiply_plain(self, ct, val):
+        return self.engine.multiply_plain(ct, val)
+
+    def rotate(self, ct, steps: int):
+        return self.engine.rotate(ct, self.rot_key, steps)
+
+    def relinearize(self, ct, relin_key=None):
+        # degree-2 only; degree-1 input raises inside the engine and is
+        # swallowed here (/root/reference/xor_service.py:107-118)
+        try:
+            return self.engine.relinearize(ct, relin_key or self.relin_key)
+        except RuntimeError as e:
+            if "should have 3 polynomials" in str(e):
+                return ct
+            raise
+
+    def bootstrap(self, ct):
+        return self.engine.bootstrap(ct, self.relin_key, self.conj_key,
+                                     self.boot_key)
+
+    # TPU-first fused reductions, exposed for the services
+    def linear_combination(self, cts, coeffs, constant=0.0):
+        return self.engine.linear_combination(cts, coeffs, constant)
+
+    def inner_product(self, lhs, rhs):
+        return self.engine.inner_product(lhs, rhs, self.relin_key)
+
+
+class CoefficientCache:
+    """JSON -> complex coefficient dict; 1D [i,re,im] and 2D [i,j,re,im]
+    entries (port of /root/reference/xor_service.py:148-196).  Plaintext
+    encodings are symbolic ScalarPlaintexts (O(1) memory per coefficient)."""
+
+    def __init__(self, path: Path):
+        self.path = Path(path)
+        self._coeffs = None
+
+    def load_coeffs(self) -> Dict[Any, complex]:
+        if self._coeffs is None:
+            data = json.loads(self.path.read_text(encoding="utf-8"))
+            coeffs: Dict[Any, complex] = {}
+            for entry in data["entries"]:
+                if len(entry) == 3:
+                    i, re, im = entry
+                    coeffs[int(i)] = re + 1j * im
+                elif len(entry) == 4:
+                    i, j, re, im = entry
+                    coeffs[(int(i), int(j))] = re + 1j * im
+                else:
+                    raise ValueError(f"Unrecognized entry format: {entry}")
+            self._coeffs = coeffs
+        return self._coeffs
+
+    def get_plaintext_coeffs(self, eng: EngineWrapper) -> Dict[Any, Any]:
+        scale = eng.engine.params.scale
+        return {k: ScalarPlaintext(v, scale)
+                for k, v in self.load_coeffs().items()}
+
+
+class FullXORCache(CoefficientCache):
+    """256x256 XOR coefficient cache (/root/reference/xor_service.py:199-224)."""
+
+    def load_coeffs(self) -> Dict[Tuple[int, int], complex]:
+        coeffs = super().load_coeffs()
+        assert all(isinstance(k, tuple) for k in coeffs)
+        return coeffs
+
+
+def _dense_1d(path: Path, n: int) -> np.ndarray:
+    c = coeffgen.load_1d_coeffs(path)
+    assert len(c) == n, (path, len(c), n)
+    return c
+
+
+class XORService:
+    """4-bit and 8-bit homomorphic XOR + AddRoundKey
+    (port of /root/reference/xor_service.py:227-552)."""
+
+    BOOT_LEVEL = 8   # level<8 => bootstrap, /root/reference/xor_service.py:274-277
+
+    def __init__(self, engine_wrapper: EngineWrapper,
+                 coeff_cache: CoefficientCache | None = None,
+                 nibble_hi_cache: CoefficientCache | None = None,
+                 nibble_lo_cache: CoefficientCache | None = None,
+                 full_xor_cache: FullXORCache | None = None,
+                 lo_lift_cache: CoefficientCache | None = None,
+                 nibble_hi_path=None, nibble_lo_path=None):
+        # the nibble_*_path kwargs accept CoefficientCache objects too, for
+        # drop-in parity with the reference tests' (broken) fixture signature
+        self.eng_wrap = engine_wrapper
+        self.coeff_cache = coeff_cache or CoefficientCache(
+            COEFF_DIR / "xor_mono_coeffs.json")
+        self.nibble_hi_cache = (nibble_hi_cache or nibble_hi_path or
+                                CoefficientCache(COEFF_DIR / "nibble_hi16_coeffs.json"))
+        self.nibble_lo_cache = (nibble_lo_cache or nibble_lo_path or
+                                CoefficientCache(COEFF_DIR / "nibble_test.json"))
+        self.full_xor_cache = full_xor_cache or FullXORCache(
+            COEFF_DIR / "xor_256x256_coeffs.json")
+        self.lo_lift_cache = lo_lift_cache or CoefficientCache(
+            COEFF_DIR / "lo_lift_coeffs.json")
+
+    @property
+    def eng(self) -> EngineWrapper:
+        return self.eng_wrap
+
+    # ------------------------------------------------------------------
+    def _maybe_bootstrap(self, ct: Ciphertext, need: int) -> Ciphertext:
+        if ct.level < need and self.eng_wrap.engine.use_bootstrap:
+            return self.eng_wrap.bootstrap(ct)
+        return ct
+
+    def _build_power_basis(self, ct: Ciphertext) -> Dict[int, Ciphertext]:
+        """t^1..t^15 in zeta16 domain: degree-8 ladder + conjugation for the
+        upper half (t^(16-k) = conj(t^k), /root/reference/xor_service.py:245-254).
+        Index 0 is intentionally absent: constant terms are handled
+        symbolically by linear_combination."""
+        eng = self.eng_wrap
+        pos = eng.make_power_basis(ct, 8)
+        basis = {i + 1: c for i, c in enumerate(pos)}
+        for k in range(1, 8):
+            basis[16 - k] = eng.conjugate(pos[k - 1])
+        return basis
+
+    def _build_power_basis_256(self, ct: Ciphertext) -> Dict[int, Ciphertext]:
+        """t^1..t^255 in zeta256 domain via 128 powers + conjugation
+        (/root/reference/xor_service.py:290-298)."""
+        eng = self.eng_wrap
+        pos = eng.make_power_basis(ct, 128)
+        basis = {k: pos[k - 1] for k in range(1, 129)}
+        for k in range(129, 256):
+            basis[k] = eng.conjugate(pos[256 - k - 1])
+        return basis
+
+    # ------------------------------------------------------------------
+    def _lut2d_cipher(self, enc_a, enc_b, basis_builder, coeffs):
+        """res = sum_ij c_ij a^i b^j with hoisted relinearization."""
+        eng = self.eng_wrap
+        bx = basis_builder(enc_a)
+        by = basis_builder(enc_b)
+        rows: Dict[int, Dict[int, complex]] = {}
+        const = 0.0
+        lin_b: Dict[int, complex] = {}
+        lin_a: Dict[int, complex] = {}
+        for (i, j), c in coeffs.items():
+            if i == 0 and j == 0:
+                const += c
+            elif i == 0:
+                lin_b[j] = lin_b.get(j, 0) + c
+            elif j == 0:
+                lin_a[i] = lin_a.get(i, 0) + c
+            else:
+                rows.setdefault(i, {})[j] = c
+        lhs, rhs = [], []
+        for i, row in sorted(rows.items()):
+            js = sorted(row)
+            w_i = eng.linear_combination([by[j] for j in js],
+                                         [row[j] for j in js])
+            lhs.append(bx[i])
+            rhs.append(w_i)
+        res = eng.inner_product(lhs, rhs)
+        if lin_a:
+            ks = sorted(lin_a)
+            res = eng.add(res, eng.linear_combination(
+                [bx[k] for k in ks], [lin_a[k] for k in ks]))
+        if lin_b:
+            ks = sorted(lin_b)
+            res = eng.add(res, eng.linear_combination(
+                [by[k] for k in ks], [lin_b[k] for k in ks]))
+        if const:
+            res = eng.add_plain(res, const)
+        return res
+
+    def xor_cipher(self, enc_a: Ciphertext, enc_b: Ciphertext) -> Ciphertext:
+        """4-bit XOR of two zeta16-domain ciphertexts
+        (/root/reference/xor_service.py:271-286)."""
+        enc_a = self._maybe_bootstrap(enc_a, self.BOOT_LEVEL)
+        enc_b = self._maybe_bootstrap(enc_b, self.BOOT_LEVEL)
+        return self._lut2d_cipher(enc_a, enc_b, self._build_power_basis,
+                                  self.coeff_cache.load_coeffs())
+
+    def xor_cipher_full(self, enc_a: Ciphertext,
+                        enc_b: Ciphertext) -> Ciphertext:
+        """8-bit XOR of two zeta256-domain ciphertexts -- the 16384-term
+        double sum that SIGKILLs the reference on CPU
+        (/root/reference/xor_service.py:288-307, test_xor_service.py:89)."""
+        return self._lut2d_cipher(enc_a, enc_b, self._build_power_basis_256,
+                                  self.full_xor_cache.load_coeffs())
+
+    # ------------------------------------------------------------------
+    def xor(self, a_int: np.ndarray, b_int: np.ndarray) -> np.ndarray:
+        """End-to-end 4-bit XOR (/root/reference/xor_service.py:318-328)."""
+        eng = self.eng_wrap
+        enc_a = eng.encrypt(ZetaEncoder.to_zeta(np.asarray(a_int), 16))
+        enc_b = eng.encrypt(ZetaEncoder.to_zeta(np.asarray(b_int), 16))
+        res = self.xor_cipher(enc_a, enc_b)
+        return ZetaEncoder.from_zeta(eng.decrypt(res), 16)[:np.size(a_int)]
+
+    def xor256(self, a_int: np.ndarray, b_int: np.ndarray) -> np.ndarray:
+        eng = self.eng_wrap
+        enc_a = eng.encrypt(ZetaEncoder.to_zeta(np.asarray(a_int), 256))
+        enc_b = eng.encrypt(ZetaEncoder.to_zeta(np.asarray(b_int), 256))
+        res = self.xor_cipher_full(enc_a, enc_b)
+        return ZetaEncoder.from_zeta(eng.decrypt(res), 256)[:np.size(a_int)]
+
+    # ------------------------------------------------------------------
+    def extract_nibbles(self, enc_vec: Ciphertext,
+                        _shared_basis: Dict[int, Ciphertext] | None = None
+                        ) -> Tuple[Ciphertext, Ciphertext]:
+        """zeta256-domain byte ciphertext -> (zeta16^hi, zeta16^lo)
+        (/root/reference/xor_service.py:434-496).
+
+        lo = enc^16 exactly (domain reduction); hi = 256-point LUT with
+        zeta16-range output evaluated as one fused linear combination over a
+        shared power basis."""
+        eng = self.eng_wrap
+        basis = _shared_basis or self._build_power_basis_256(enc_vec)
+        hi_coeffs = _dense_1d(self.nibble_hi_cache.path, 256)
+        ks = [k for k in range(1, 256) if abs(hi_coeffs[k]) > 1e-12]
+        enc_hi = eng.linear_combination([basis[k] for k in ks],
+                                        [hi_coeffs[k] for k in ks],
+                                        constant=hi_coeffs[0])
+        enc_lo = basis[16]
+        # optional identity LUT in the zeta16 domain (nibble_test.json parity)
+        return enc_hi, enc_lo
+
+    def lift_lo(self, lo16_ct: Ciphertext) -> Ciphertext:
+        """zeta16^l -> zeta256^l via the 16-point lo_lift LUT (TPU build's
+        consistent replacement for the reference's broken recombine,
+        /root/reference/xor_service.py:541-547)."""
+        eng = self.eng_wrap
+        coeffs = _dense_1d(self.lo_lift_cache.path, 16)
+        basis = self._build_power_basis(lo16_ct)
+        ks = [k for k in range(1, 16) if abs(coeffs[k]) > 1e-12]
+        return eng.linear_combination([basis[k] for k in ks],
+                                      [coeffs[k] for k in ks],
+                                      constant=coeffs[0])
+
+    def recombine_nibbles(self, hi_ct: Ciphertext,
+                          lo_ct: Ciphertext) -> Ciphertext:
+        """byte = hi*16 + lo for zeta256-exponent nibbles
+        (/root/reference/xor_service.py:256-269): hi -> hi^16, then multiply."""
+        eng = self.eng_wrap
+        hi16 = eng.make_power_basis(hi_ct, 16)[15]
+        return eng.multiply(hi16, lo_ct)
+
+    def recombine_nibbles16(self, hi16_ct: Ciphertext,
+                            lo16_ct: Ciphertext) -> Ciphertext:
+        """byte = hi*16 + lo for zeta16-domain nibbles: zeta16^hi is already
+        zeta256^(16 hi); lift lo and multiply."""
+        return self.eng_wrap.multiply(hi16_ct, self.lift_lo(lo16_ct))
+
+    # ------------------------------------------------------------------
+    def _xor_with_plain_nibbles(self, enc16: Ciphertext,
+                                key_nibbles: np.ndarray) -> Ciphertext:
+        """XOR a zeta16-domain ciphertext with *plaintext* per-slot nibbles.
+
+        With the key in the clear, the 2D XOR LUT collapses to a 1D LUT with
+        slot-dependent coefficients: w_i(slot) = sum_j c_ij zeta16^(j*k_slot),
+        so the whole XOR costs 8 plaintext multiplies and no ct*ct multiply.
+        This is the TPU build's AddRoundKey fast path (the round key is
+        plaintext input in the reference pipeline too, SURVEY.md section 1 L5).
+        """
+        eng = self.eng_wrap
+        sc = eng.engine.slot_count
+        k = np.zeros(sc, dtype=np.uint8)
+        kn = np.asarray(key_nibbles, dtype=np.uint8).ravel()
+        reps = -(-sc // kn.size)
+        k[:] = np.tile(kn, reps)[:sc]
+        coeffs = self.coeff_cache.load_coeffs()
+        basis = self._build_power_basis(enc16)
+        zeta = np.exp(-2j * np.pi / 16)
+        rows: Dict[int, np.ndarray] = {}
+        const = np.zeros(sc, dtype=np.complex128)
+        for (i, j), c in coeffs.items():
+            w = c * zeta ** ((j * k.astype(np.int64)) % 16)
+            if i == 0:
+                const += w
+            else:
+                rows[i] = rows.get(i, 0) + w
+        acc = None
+        for i, w in sorted(rows.items()):
+            pt = eng.encode(w)
+            term = eng.multiply_plain(basis[i], pt)
+            acc = term if acc is None else eng.add(acc, term)
+        if np.max(np.abs(const)) > 1e-12:
+            acc = eng.add(acc, const)
+        return acc
+
+    def add_round_key(self, enc_state: Ciphertext,
+                      round_key: np.ndarray) -> Ciphertext:
+        """AddRoundKey on a zeta256-domain state with a plaintext round key
+        (/root/reference/xor_service.py:499-547, minus its DEBUG decrypts).
+
+        Pipeline: shared 255-power basis -> nibble extraction -> two 4-bit
+        XORs against the plaintext key nibbles -> recombine to zeta256.
+        """
+        basis = self._build_power_basis_256(enc_state)
+        s_hi, s_lo = self.extract_nibbles(enc_state, _shared_basis=basis)
+        k_hi, k_lo = split_nibbles(np.asarray(round_key, dtype=np.uint8))
+        x_hi = self._xor_with_plain_nibbles(s_hi, k_hi)
+        x_lo = self._xor_with_plain_nibbles(s_lo, k_lo)
+        return self.recombine_nibbles16(x_hi, x_lo)
+
+    def add_round_key_full(self, enc_state: Ciphertext,
+                           round_key: np.ndarray) -> Ciphertext:
+        """Byte-domain ARK via the full 256x256 XOR LUT with an encrypted key
+        (/root/reference/xor_service.py:549-552)."""
+        eng = self.eng_wrap
+        zrk = ZetaEncoder.to_zeta(np.asarray(round_key), 256)
+        enc_key = eng.encrypt(zrk)
+        return self.xor_cipher_full(enc_state, enc_key)

@@ -1,0 +1,82 @@
+"""Test configuration: force CPU with an 8-device virtual mesh so sharding
+tests exercise multi-chip layouts without TPU hardware (the driver separately
+dry-runs the multi-chip path; see __graft_entry__.dryrun_multichip)."""
+import os
+import sys
+
+# Force CPU: the container may pin JAX_PLATFORMS=axon (TPU tunnel) via a
+# sitecustomize hook that overrides the env var at interpreter start, so the
+# jax config itself must be updated (before any backend initialization).
+os.environ["JAX_PLATFORMS"] = os.environ.get("AESFHE_TEST_PLATFORM", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_platforms",
+                  os.environ.get("AESFHE_TEST_PLATFORM", "cpu"))
+
+import numpy as np
+import pytest
+
+from aesfhe_tpu.core import keys as keys_mod
+from aesfhe_tpu.core.params import get_params
+from aesfhe_tpu.core.engine import Engine
+
+
+@pytest.fixture(scope="session", autouse=True)
+def _seed():
+    keys_mod.seed_keygen(0)
+
+
+@pytest.fixture(scope="session")
+def tiny_engine():
+    """Small-ring engine; one keygen per test session (mirrors the reference's
+    module-scoped engine fixtures, /root/reference/test/test_xor_service.py:15-28)."""
+    eng = Engine(get_params("tiny"))
+    sk = eng.create_secret_key()
+    pk = eng.create_public_key(sk)
+    rlk = eng.create_relinearization_key(sk)
+    conj = eng.create_conjugation_key(sk)
+    rot = eng.create_rotation_key(sk)
+    return dict(eng=eng, sk=sk, pk=pk, rlk=rlk, conj=conj, rot=rot)
+
+
+@pytest.fixture(scope="session")
+def deep_engine():
+    """Long-chain insecure ring for the deep AES-round circuits."""
+    eng = Engine(get_params("deep"))
+    sk = eng.create_secret_key()
+    pk = eng.create_public_key(sk)
+    rlk = eng.create_relinearization_key(sk)
+    conj = eng.create_conjugation_key(sk)
+    rot = eng.create_rotation_key(sk)
+    return dict(eng=eng, sk=sk, pk=pk, rlk=rlk, conj=conj, rot=rot)
+
+
+@pytest.fixture(scope="session")
+def hp_engine():
+    """High-precision (2^52 scale) ring for byte-domain deg-255 LUT circuits."""
+    eng = Engine(get_params("hp"))
+    sk = eng.create_secret_key()
+    pk = eng.create_public_key(sk)
+    rlk = eng.create_relinearization_key(sk)
+    conj = eng.create_conjugation_key(sk)
+    rot = eng.create_rotation_key(sk)
+    return dict(eng=eng, sk=sk, pk=pk, rlk=rlk, conj=conj, rot=rot)
+
+
+@pytest.fixture(scope="session")
+def test_engine():
+    """Mid-size engine (N=2^12, 16 levels) for deep circuits (S-box etc.)."""
+    eng = Engine(get_params("test"))
+    sk = eng.create_secret_key()
+    pk = eng.create_public_key(sk)
+    rlk = eng.create_relinearization_key(sk)
+    conj = eng.create_conjugation_key(sk)
+    rot = eng.create_rotation_key(sk)
+    return dict(eng=eng, sk=sk, pk=pk, rlk=rlk, conj=conj, rot=rot)

@@ -1,0 +1,175 @@
+"""Engine-primitive tests: TPU-native port of the reference's engine sanity
+suite (/root/reference/test/test_engine_rot.py) plus the wider desilofhe
+contract (SURVEY.md section 2.1).
+
+Tolerances are set by our parameter profiles' scale (2^26 / 2^27), not the
+reference's (desilofhe uses ~2^40 scales, hence its 1e-6); the zeta-domain
+payloads used by the AES pipeline only require ~1e-2 slot accuracy.
+"""
+import numpy as np
+import pytest
+
+ATOL = 1e-3
+
+
+def test_encrypt_decrypt_identity(tiny_engine):
+    # port of /root/reference/test/test_engine_rot.py:21-29
+    E = tiny_engine
+    eng = E["eng"]
+    sc = eng.slot_count
+    vec = np.linspace(0.0, 1.0, num=sc)
+    ct = eng.encrypt(vec, E["pk"])
+    dec = eng.decrypt(ct, E["sk"])
+    assert np.allclose(dec.real, vec, atol=ATOL)
+    assert np.max(np.abs(dec.imag)) < ATOL
+
+
+def test_encrypt_pads_short_input(tiny_engine):
+    # desilofhe auto-pads inputs shorter than slot_count
+    # (/root/reference/test/test_xor_service.py:55-58)
+    E = tiny_engine
+    eng = E["eng"]
+    vec = np.arange(16, dtype=np.float64)
+    ct = eng.encrypt(vec, E["pk"])
+    dec = eng.decrypt(ct, E["sk"])
+    assert dec.shape[0] == eng.slot_count
+    assert np.allclose(dec.real[:16], vec, atol=ATOL)
+    assert np.allclose(dec.real[16:], 0.0, atol=ATOL)
+
+
+def test_rotate_matches_roll(tiny_engine):
+    # port of /root/reference/test/test_engine_rot.py:32-40:
+    # positive steps == np.roll(+k) (right shift)
+    E = tiny_engine
+    eng = E["eng"]
+    sc = eng.slot_count
+    base = np.arange(sc, dtype=np.float64)
+    ct = eng.encrypt(base, E["pk"])
+    for k in (5, -3, 1, sc // 2):
+        dec = eng.decrypt(eng.rotate(ct, E["rot"], k), E["sk"])
+        assert np.allclose(dec.real, np.roll(base, k), atol=ATOL), k
+
+
+def test_relinearize_noop_raises_and_after_mul(tiny_engine):
+    # port of /root/reference/test/test_engine_rot.py:43-62: desilofhe raises
+    # "should have 3 polynomials" on degree-1 input (the wrapper catches it)
+    E = tiny_engine
+    eng = E["eng"]
+    sc = eng.slot_count
+    vec = np.random.RandomState(0).rand(sc)
+    ct = eng.encrypt(vec, E["pk"])
+    with pytest.raises(RuntimeError, match="should have 3 polynomials"):
+        eng.relinearize(ct, E["rlk"])
+    ct_sq = eng.multiply(ct, ct, E["rlk"])
+    dec = eng.decrypt(ct_sq, E["sk"])
+    assert np.allclose(dec.real, vec * vec, atol=ATOL)
+
+
+def test_conjugate(tiny_engine):
+    E = tiny_engine
+    eng = E["eng"]
+    sc = eng.slot_count
+    rng = np.random.default_rng(1)
+    vec = rng.random(sc) + 1j * rng.random(sc)
+    ct = eng.encrypt(vec, E["pk"])
+    dec = eng.decrypt(eng.conjugate(ct, E["conj"]), E["sk"])
+    assert np.allclose(dec, np.conj(vec), atol=ATOL)
+
+
+def test_add_and_add_plain(tiny_engine):
+    E = tiny_engine
+    eng = E["eng"]
+    sc = eng.slot_count
+    rng = np.random.default_rng(2)
+    a = rng.random(sc)
+    b = rng.random(sc)
+    ca = eng.encrypt(a, E["pk"])
+    cb = eng.encrypt(b, E["pk"])
+    assert np.allclose(eng.decrypt(eng.add(ca, cb), E["sk"]).real, a + b,
+                       atol=ATOL)
+    assert np.allclose(eng.decrypt(eng.add_plain(ca, 1.5), E["sk"]).real,
+                       a + 1.5, atol=ATOL)
+    assert np.allclose(eng.decrypt(eng.add_plain(ca, 0.5j), E["sk"]),
+                       a + 0.5j, atol=ATOL)
+
+
+def test_multiply_overloads(tiny_engine):
+    # ct*ct (+relin), ct*plaintext-vector, ct*scalar incl. the multiply(ct, 0)
+    # zero-ciphertext idiom (/root/reference/sbox/sbox_service.py:100)
+    E = tiny_engine
+    eng = E["eng"]
+    sc = eng.slot_count
+    rng = np.random.default_rng(3)
+    a = rng.random(sc)
+    b = rng.random(sc)
+    ca = eng.encrypt(a, E["pk"])
+    cb = eng.encrypt(b, E["pk"])
+    assert np.allclose(eng.decrypt(eng.multiply(ca, cb, E["rlk"]), E["sk"]).real,
+                       a * b, atol=ATOL)
+    assert np.allclose(eng.decrypt(eng.multiply(ca, 0.25), E["sk"]).real,
+                       0.25 * a, atol=ATOL)
+    assert np.allclose(eng.decrypt(eng.multiply(ca, 0.0), E["sk"]).real,
+                       np.zeros(sc), atol=ATOL)
+    assert np.allclose(eng.decrypt(eng.multiply_plain(ca, b), E["sk"]).real,
+                       a * b, atol=ATOL)
+    mask = np.zeros(sc)
+    mask[::4] = 1.0
+    assert np.allclose(eng.decrypt(eng.multiply_plain(ca, mask), E["sk"]).real,
+                       a * mask, atol=ATOL)
+
+
+def test_level_tracking_and_auto_align(tiny_engine):
+    E = tiny_engine
+    eng = E["eng"]
+    sc = eng.slot_count
+    vec = np.full(sc, 0.9)
+    ct = eng.encrypt(vec, E["pk"])
+    assert ct.level == eng.max_level
+    sq = eng.multiply(ct, ct, E["rlk"])
+    assert sq.level == eng.max_level - 1
+    # adding operands at different levels/scales must transparently align
+    mixed = eng.add(sq, ct)
+    assert np.allclose(eng.decrypt(mixed, E["sk"]).real, 0.9 ** 2 + 0.9,
+                       atol=ATOL)
+
+
+def test_make_power_basis(tiny_engine):
+    # contract of /root/reference/xor_service.py:85-86: index i -> ct^(i+1)
+    E = tiny_engine
+    eng = E["eng"]
+    sc = eng.slot_count
+    z = np.exp(-2j * np.pi * np.arange(sc) / 16)
+    ct = eng.encrypt(z, E["pk"])
+    basis = eng.make_power_basis(ct, 8, E["rlk"])
+    assert len(basis) == 8
+    for i in (0, 2, 7):
+        dec = eng.decrypt(basis[i], E["sk"])
+        assert np.allclose(dec, z ** (i + 1), atol=5e-3), i
+
+
+def test_evaluate_polynomial_complex_coeffs(tiny_engine):
+    E = tiny_engine
+    eng = E["eng"]
+    sc = eng.slot_count
+    rng = np.random.default_rng(4)
+    x = rng.random(sc) * 0.5
+    ct = eng.encrypt(x, E["pk"])
+    coeffs = [0.3 + 0.1j, -0.5, 0.25j, 0.125]
+    out = eng.decrypt(eng.evaluate_polynomial(ct, coeffs, E["rlk"]), E["sk"])
+    ref = coeffs[0] + coeffs[1] * x + coeffs[2] * x ** 2 + coeffs[3] * x ** 3
+    assert np.allclose(out, ref, atol=5e-3)
+
+
+def test_deep_circuit_precision(tiny_engine):
+    # repeated squaring of a root of unity stays decodable (phase accuracy)
+    E = tiny_engine
+    eng = E["eng"]
+    sc = eng.slot_count
+    z = np.exp(-2j * np.pi * np.arange(sc) / 16)
+    ct = eng.encrypt(z, E["pk"])
+    ref = z
+    for _ in range(4):
+        ct = eng.multiply(ct, ct, E["rlk"])
+        ref = ref * ref
+    dec = eng.decrypt(ct, E["sk"])
+    assert np.max(np.abs(dec - ref)) < 5e-3

@@ -1,0 +1,88 @@
+"""NTT correctness: device NTT vs big-int host model, inverse round-trip,
+negacyclic convolution semantics."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from aesfhe_tpu.core import rns, ntt
+
+N = 128
+
+
+@pytest.fixture(scope="module")
+def setup():
+    q = rns.find_ntt_primes(28, 2 * N, 1)[0]
+    psi = rns._find_primitive_2n_root(q, 2 * N)
+    tabs = ntt.NTTTables(N, (q,))
+    qinv, r2 = rns.montgomery_consts(q)
+    return dict(q=q, psi=psi, tabs=tabs, qinv=qinv, r2=r2)
+
+
+def _fwd(x_plain, s):
+    qj = jnp.uint32(s["q"])
+    xm = rns.to_mont(jnp.asarray(x_plain), qj, jnp.uint32(s["qinv"]),
+                     jnp.uint32(s["r2"]))
+    t = s["tabs"]
+    f = ntt.ntt_fwd(xm, jnp.asarray(t.w), jnp.asarray(t.w_sh),
+                    jnp.asarray(t.q))
+    return f, np.asarray(rns.from_mont(f, qj, jnp.uint32(s["qinv"])))
+
+
+def test_fwd_matches_host_model(setup):
+    s = setup
+    rng = np.random.default_rng(0)
+    x = rng.integers(0, s["q"], (1, N)).astype(np.uint32)
+    _, f = _fwd(x, s)
+    ref = ntt.ntt_fwd_host(x[0].astype(object), s["q"], s["psi"])
+    assert np.array_equal(f[0].astype(object), ref)
+
+
+def test_eval_points_are_psi_powers(setup):
+    s = setup
+    exps = ntt.eval_order_exponents(N, s["q"], s["psi"])
+    assert sorted(exps) == list(range(1, 2 * N, 2))
+    rng = np.random.default_rng(1)
+    coeffs = rng.integers(0, s["q"], N).astype(object)
+    out = ntt.ntt_fwd_host(coeffs, s["q"], s["psi"])
+    for i in range(0, N, 17):
+        e = exps[i]
+        val = sum(int(coeffs[k]) * pow(s["psi"], e * k, s["q"])
+                  for k in range(N)) % s["q"]
+        assert val == int(out[i])
+
+
+def test_inverse_roundtrip(setup):
+    s = setup
+    rng = np.random.default_rng(2)
+    x = rng.integers(0, s["q"], (1, N)).astype(np.uint32)
+    f, _ = _fwd(x, s)
+    t = s["tabs"]
+    back = ntt.ntt_inv(f, jnp.asarray(t.wi), jnp.asarray(t.wi_sh),
+                       jnp.asarray(t.q), jnp.asarray(t.ninv),
+                       jnp.asarray(t.ninv_sh))
+    qj = jnp.uint32(s["q"])
+    bp = np.asarray(rns.from_mont(back, qj, jnp.uint32(s["qinv"])))
+    assert np.array_equal(bp, x)
+
+
+def test_negacyclic_convolution(setup):
+    s = setup
+    q = s["q"]
+    rng = np.random.default_rng(3)
+    a = rng.integers(0, q, (1, N)).astype(np.uint32)
+    b = rng.integers(0, q, (1, N)).astype(np.uint32)
+    fa, _ = _fwd(a, s)
+    fb, _ = _fwd(b, s)
+    qj, qinvj = jnp.uint32(q), jnp.uint32(s["qinv"])
+    prod_eval = rns.mont_mul(fa, fb, qj, qinvj)
+    t = s["tabs"]
+    prod = ntt.ntt_inv(prod_eval, jnp.asarray(t.wi), jnp.asarray(t.wi_sh),
+                       jnp.asarray(t.q), jnp.asarray(t.ninv),
+                       jnp.asarray(t.ninv_sh))
+    prod = np.asarray(rns.from_mont(prod, qj, qinvj))
+    ref = np.zeros(N, dtype=object)
+    for i in range(N):
+        for j in range(N):
+            k, sign = (i + j, 1) if i + j < N else (i + j - N, -1)
+            ref[k] = (ref[k] + sign * int(a[0, i]) * int(b[0, j])) % q
+    assert np.array_equal(prod[0].astype(object), ref)
