@@ -52,7 +52,12 @@ class GaloisKeySet:
     keys: dict           # galois element -> SwitchKey
 
 
-def _sample_ternary(n: int) -> np.ndarray:
+def _sample_ternary(n: int, hamming: int | None = None) -> np.ndarray:
+    if hamming is not None:
+        s = np.zeros(n, dtype=np.int64)
+        idx = _rng.choice(n, hamming, replace=False)
+        s[idx] = _rng.choice(np.array([-1, 1]), hamming)
+        return s
     u = _rng.random(n)
     return np.where(u < 0.25, -1, np.where(u < 0.5, 1, 0)).astype(np.int64)
 
@@ -88,7 +93,7 @@ def _to_eval(params: CKKSParams, tabs, residues_u32, rows) -> Any:
 
 
 def gen_secret_key(params: CKKSParams, tabs) -> SecretKey:
-    s = _sample_ternary(params.n)
+    s = _sample_ternary(params.n, params.secret_hamming)
     res = _int_to_rns(s, params.all_primes)
     rows = np.arange(params.L_tot, dtype=np.int32)
     return SecretKey(_to_eval(params, tabs, res, rows), s.astype(np.int8))

@@ -60,22 +60,32 @@ class NTTTables:
         ninv = np.zeros((L,), dtype=np.uint32)
         ninv_sh = np.zeros((L,), dtype=np.uint32)
         rev = bit_reverse_perm(n)
+
+        def pow_table(base: int, q: int) -> np.ndarray:
+            """[1, base, base^2, ..., base^(n-1)] mod q, vectorized uint64
+            doubling (products < 2^60 stay exact in uint64)."""
+            out = np.ones(1, dtype=np.uint64)
+            b = np.uint64(base)
+            qq = np.uint64(q)
+            while out.size < n:
+                step = (np.uint64(pow(base, out.size, q)))
+                out = np.concatenate([out, (out * step) % qq])
+            return out[:n]
+
         for li, q in enumerate(primes):
             psi = rns._find_primitive_2n_root(q, 2 * n)
             self.psi.append(psi)
             psi_inv = pow(psi, -1, q)
-            pw = np.ones(n, dtype=object)
-            pwi = np.ones(n, dtype=object)
-            for j in range(1, n):
-                pw[j] = pw[j - 1] * psi % q
-                pwi[j] = pwi[j - 1] * psi_inv % q
+            pw = pow_table(psi, q)
+            pwi = pow_table(psi_inv, q)
             # standard Harvey/SEAL table: root_powers[rev(j)] = psi^j
-            for j in range(n):
-                w[li, rev[j]] = pw[j]
-                wi[li, rev[j]] = pwi[j]
-            for j in range(n):
-                w_sh[li, j] = rns.shoup_precompute(int(w[li, j]), q)
-                wi_sh[li, j] = rns.shoup_precompute(int(wi[li, j]), q)
+            w[li, rev] = pw.astype(np.uint32)
+            wi[li, rev] = pwi.astype(np.uint32)
+            qq = np.uint64(q)
+            w_sh[li] = ((w[li].astype(np.uint64) << np.uint64(32)) // qq
+                        ).astype(np.uint32)
+            wi_sh[li] = ((wi[li].astype(np.uint64) << np.uint64(32)) // qq
+                         ).astype(np.uint32)
             ni = pow(n, -1, q)
             ninv[li] = ni
             ninv_sh[li] = rns.shoup_precompute(ni, q)
@@ -106,8 +116,8 @@ def _stage_slices(n: int, inverse: bool):
             m //= 2
 
 
-def ntt_fwd(x, w, w_sh, q):
-    """Forward negacyclic NTT.
+def ntt_fwd_unrolled(x, w, w_sh, q):
+    """Forward negacyclic NTT, stages unrolled (reshape-based butterflies).
 
     x: uint32 [..., L, N] (Montgomery form, natural coeff order)
     w, w_sh: twiddle tables [L, N]; q: moduli [L].
@@ -129,7 +139,7 @@ def ntt_fwd(x, w, w_sh, q):
     return x
 
 
-def ntt_inv(x, wi, wi_sh, q, ninv, ninv_sh):
+def ntt_inv_unrolled(x, wi, wi_sh, q, ninv, ninv_sh):
     """Inverse negacyclic NTT: bit-reversed eval order -> natural coeff order."""
     n = x.shape[-1]
     L = x.shape[-2]
@@ -148,6 +158,100 @@ def ntt_inv(x, wi, wi_sh, q, ninv, ninv_sh):
     ni = ninv.reshape((L, 1))
     ni_sh = ninv_sh.reshape((L, 1))
     return rns.shoup_mul(x, ni, ni_sh, qflat)
+
+
+def _use_loop_ntt() -> bool:
+    """Backend-dependent NTT strategy: the fori_loop form compiles ~logN x
+    faster (one stage body) but its lane-axis gathers run ~300x slower on
+    TPU; the unrolled reshape form is near memory-bound on TPU.  CPU (tests)
+    is compile-dominated, TPU (bench/serving) is runtime-dominated."""
+    import jax
+    return jax.default_backend() == "cpu"
+
+
+def ntt_fwd(x, w, w_sh, q):
+    if not _use_loop_ntt():
+        return ntt_fwd_unrolled(x, w, w_sh, q)
+    return ntt_fwd_loop(x, w, w_sh, q)
+
+
+def ntt_inv(x, wi, wi_sh, q, ninv, ninv_sh):
+    if not _use_loop_ntt():
+        return ntt_inv_unrolled(x, wi, wi_sh, q, ninv, ninv_sh)
+    return ntt_inv_loop(x, wi, wi_sh, q, ninv, ninv_sh)
+
+
+def ntt_fwd_loop(x, w, w_sh, q):
+    """Forward NTT as a constant-shape fori_loop (gather-based butterflies).
+
+    Every stage has identical shapes, so XLA compiles ONE stage body instead
+    of logN unrolled stages -- service-level circuits inline dozens of NTTs,
+    and the unrolled form made their graphs (and compile times) explode.
+    Output/layout identical to ntt_fwd_unrolled (asserted in tests/test_ntt).
+    """
+    import jax
+    n = x.shape[-1]
+    logn = n.bit_length() - 1
+    L = x.shape[-2]
+    qc = q.reshape((L, 1))
+    j = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
+
+    def stage(s, xv):
+        t = jnp.int32(n) >> (s + 1)             # butterfly half-distance
+        m = jnp.int32(1) << s
+        partner = jnp.bitwise_xor(j, t)          # [1, N]
+        pv = jnp.take_along_axis(xv, jnp.broadcast_to(partner, xv.shape),
+                                 axis=-1)
+        is_hi = (j & t) != 0
+        u = jnp.where(is_hi, pv, xv)
+        v = jnp.where(is_hi, xv, pv)
+        tw_idx = m + (j >> (logn - s))           # group twiddle index [1, N]
+        tw_b = jnp.broadcast_to(tw_idx, xv.shape)
+        tw = jnp.take_along_axis(jnp.broadcast_to(w, xv.shape[:-2] + w.shape),
+                                 tw_b, axis=-1)
+        tw_sh = jnp.take_along_axis(
+            jnp.broadcast_to(w_sh, xv.shape[:-2] + w_sh.shape), tw_b, axis=-1)
+        wv = rns.shoup_mul(v, tw, tw_sh, qc)
+        return jnp.where(is_hi, rns.sub_mod(u, wv, qc),
+                         rns.add_mod(u, wv, qc))
+
+    return jax.lax.fori_loop(0, logn, stage, x)
+
+
+def ntt_inv_loop(x, wi, wi_sh, q, ninv, ninv_sh):
+    """Inverse NTT as a constant-shape fori_loop (see ntt_fwd_loop)."""
+    import jax
+    n = x.shape[-1]
+    logn = n.bit_length() - 1
+    L = x.shape[-2]
+    qc = q.reshape((L, 1))
+    j = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
+
+    def stage(k, xv):
+        t = jnp.int32(1) << k
+        m = jnp.int32(n) >> (k + 1)
+        partner = jnp.bitwise_xor(j, t)
+        pv = jnp.take_along_axis(xv, jnp.broadcast_to(partner, xv.shape),
+                                 axis=-1)
+        is_hi = (j & t) != 0
+        u = jnp.where(is_hi, pv, xv)
+        v = jnp.where(is_hi, xv, pv)
+        tw_idx = m + (j >> (k + 1))
+        tw_b = jnp.broadcast_to(tw_idx, xv.shape)
+        tw = jnp.take_along_axis(
+            jnp.broadcast_to(wi, xv.shape[:-2] + wi.shape), tw_b, axis=-1)
+        tw_sh = jnp.take_along_axis(
+            jnp.broadcast_to(wi_sh, xv.shape[:-2] + wi_sh.shape), tw_b,
+            axis=-1)
+        s_uv = rns.add_mod(u, v, qc)             # lo output
+        d_uv = rns.shoup_mul(rns.sub_mod(u, v, qc), tw, tw_sh, qc)
+        return jnp.where(is_hi, d_uv, s_uv)
+
+    out = jax.lax.fori_loop(0, logn, stage, x)
+    qflat = q.reshape((L, 1))
+    ni = ninv.reshape((L, 1))
+    ni_sh = ninv_sh.reshape((L, 1))
+    return rns.shoup_mul(out, ni, ni_sh, qflat)
 
 
 # ---------------------------------------------------------------------------

@@ -296,6 +296,31 @@ def ct_drop_to(params: CKKSParams, a, target_level: int):
     return a[:, :target_level + 1, :]
 
 
+@functools.partial(jax.jit, static_argnums=0)
+def mod_raise_core(params: CKKSParams, tabs: DeviceTables, a):
+    """Bootstrap ModRaise: [k, 1, N] over q0 -> [k, num_q, N] over the full
+    chain, by centered-lifting the bottom-prime coefficients into every
+    prime (the underlying plaintext becomes m + q0*I)."""
+    k = a.shape[0]
+    q0 = int(params.q_primes[0])
+    tr0 = _tabs_rows(tabs, np.asarray([0], dtype=np.int32))
+    top = params.top_level
+    tr_all = _tabs_rows(tabs, _rows(params, top, False))
+    coeff = intt_rows(a, tr0)
+    plain = rns.from_mont(coeff, tr0["q"].reshape(1, -1, 1),
+                          tr0["qinv"].reshape(1, -1, 1))      # [k, 1, N]
+    half = jnp.uint32((q0 + 1) // 2)
+    qv = tr_all["q"].reshape((1, -1, 1))
+    red = rns.barrett_reduce(plain, qv, tr_all["magic"].reshape((1, -1, 1)))
+    q0_mod = jnp.asarray(np.asarray(
+        [q0 % int(q) for q in params.q_primes], dtype=np.uint32)
+    ).reshape((1, -1, 1))
+    lifted = jnp.where(plain >= half, rns.sub_mod(red, q0_mod, qv), red)
+    lifted_m = rns.to_mont(lifted, qv, tr_all["qinv"].reshape((1, -1, 1)),
+                           tr_all["r2"].reshape((1, -1, 1)))
+    return ntt_rows(lifted_m, tr_all)
+
+
 # ---------------------------------------------------------------------------
 # Hybrid key-switch
 # ---------------------------------------------------------------------------

@@ -32,7 +32,7 @@ class CKKSParams:
     def __init__(self, n: int, max_level: int, scale_bits: int,
                  first_prime_bits: int = 30, special_prime_bits: int = 30,
                  num_special_primes: int = 2, alpha: int | None = None,
-                 error_std: float = 3.2):
+                 error_std: float = 3.2, secret_hamming: int | None = None):
         assert n & (n - 1) == 0
         self.n = n
         self.logn = n.bit_length() - 1
@@ -41,6 +41,10 @@ class CKKSParams:
         self.scale_bits = scale_bits
         self.scale = float(2 ** scale_bits)
         self.error_std = error_std
+        # sparse ternary secret (hamming weight); bounds the ModRaise
+        # overflow I (|I| <~ hamming/2) so EvalMod's sine range stays small --
+        # required for bootstrappable parameter sets
+        self.secret_hamming = secret_hamming
         two_n = 2 * n
 
         # All primes must stay <= 2^30 for exact uint32 arithmetic; scales
@@ -106,13 +110,12 @@ class CKKSParams:
         self.r2_arr = r2
         self.magic_arr = magic
 
-        # evaluation-order structure (same for every prime; empirical once)
-        sigma = ntt.eval_order_exponents(n, self.all_primes[0],
-                                         self.tables.psi[0])
-        self.sigma = np.asarray(sigma, dtype=np.int64)       # [N] odd exps
+        # evaluation-order structure (same for every prime): output slot i of
+        # the CT NTT holds the evaluation at psi^(2*bitrev(i)+1) -- verified
+        # against the empirical scan in tests/test_ntt.py
+        self.sigma = (2 * ntt.bit_reverse_perm(n) + 1).astype(np.int64)
         pos = np.zeros(two_n, dtype=np.int64)
-        for i, e in enumerate(sigma):
-            pos[e] = i
+        pos[self.sigma] = np.arange(n)
         self.pos_of_exp = pos                                 # odd e -> slot
         # CKKS slot ordering: slot j lives at exponent 5^j mod 2N, conjugate
         # at 2N - 5^j.

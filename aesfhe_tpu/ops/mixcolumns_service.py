@@ -76,6 +76,7 @@ class AESFHETransformer:
         idx = np.arange(sc)
         self._row = (idx % 16) % 4
         self._col = (idx % 16) // 4
+        self._mask_cache: Dict = {}
 
     # ------------------------------------------------------------------
     def _gf_mul_pair(self, pair: NibblePair, m: int,
@@ -156,18 +157,27 @@ class AESFHETransformer:
             for r in range(4):
                 m = matrix[r][j]
                 t = tms[m]
+                # exact in-block source offsets (see module docstring;
+                # validated against the plain oracle in tests/test_mixcolumns)
                 if not inverse:
-                    d = (5 * j - r) % 16
+                    d = 5 * j - r                 # may be negative
                     wrapped = (col + j) >= 4      # output col c with c+j>=4
+                    d_wrap = d - 16
                 else:
-                    d = (j - 5 * r) % 16
+                    d = j - 5 * r
                     wrapped = col < r
+                    d_wrap = d + 16
                 mask_a = ((row == r) & ~wrapped).astype(float)
                 mask_b = ((row == r) & wrapped).astype(float)
-                for mask, delta in ((mask_a, d), (mask_b, d - 16)):
+                for which, (mask, delta) in enumerate(
+                        ((mask_a, d), (mask_b, d_wrap))):
                     if not mask.any():
                         continue
-                    pm = eng.encode(mask)
+                    ck = (r, j, inverse, which)
+                    pm = self._mask_cache.get(ck)
+                    if pm is None:
+                        pm = eng.encode(mask)
+                        self._mask_cache[ck] = pm
                     # out[p] = T[p + delta]  ==  roll by -delta
                     th = self._masked_rot(t.hi, pm, -delta)
                     tl = self._masked_rot(t.lo, pm, -delta)

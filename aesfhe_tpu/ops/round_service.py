@@ -118,6 +118,18 @@ class AESFHERound:
                 out_lo = m_lo if out_lo is None else engine.add(out_lo, m_lo)
         return out_hi, out_lo
 
+    def mix_columns(self, ct_hi, ct_lo):
+        """Nibble-pair MixColumns (+ShiftRows merged).
+
+        The reference's version is incomplete -- its inner helper is defined
+        but never called and references undefined gf services
+        (/root/reference/new.py:150-184); this delegates to the verified
+        merged transformer."""
+        from .mixcolumns_service import AESFHETransformer, NibblePair
+        tf = AESFHETransformer(self.eng, self.xor)
+        out = tf.merged_shift_mix_pairs(NibblePair(ct_hi, ct_lo))
+        return out.hi, out.lo
+
     def full_round(self, state: np.ndarray, key: np.ndarray,
                    recombine: bool = True):
         """AddRoundKey end-to-end (/root/reference/new.py:186-227)."""

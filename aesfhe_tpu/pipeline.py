@@ -112,10 +112,26 @@ class AESFHE128:
     def shift_mix(self, pair: NibblePair, inverse: bool = False) -> NibblePair:
         return self.tf.merged_shift_mix_pairs(pair, inverse=inverse)
 
-    def _refresh(self, pair: NibblePair) -> NibblePair:
+    # multiplicative-depth cost of each round op (rescale units), used to
+    # refresh *before* an op would exhaust the chain -- the generalization of
+    # the reference's level<8 trigger (/root/reference/xor_service.py:274-277)
+    SUB_DEPTH = 8
+    MIX_DEPTH = 20
+    ARK_DEPTH = 7
+
+    def _refresh(self, pair: NibblePair, need: int) -> NibblePair:
+        """Bootstrap both nibbles if fewer than `need` depth units remain.
+        `refresh` is any Ciphertext->Ciphertext rejuvenator -- engine
+        bootstrap via EngineWrapper.bootstrap, or a recrypt oracle in tests."""
         if self.refresh is None:
             return pair
-        return NibblePair(self.refresh(pair.hi), self.refresh(pair.lo))
+        r = self.eng.engine.params.rescale_primes
+        hi, lo = pair.hi, pair.lo
+        if hi.level < need * r + 2:
+            hi = self.refresh(hi)
+        if lo.level < need * r + 2:
+            lo = self.refresh(lo)
+        return NibblePair(hi, lo)
 
     # ------------------------------------------------------------------
     def encrypt_rounds(self, pair: NibblePair, rounds: int = 10) -> NibblePair:
@@ -125,9 +141,14 @@ class AESFHE128:
         budget-constrained runs."""
         pair = self.add_round_key(pair, 0)
         for r in range(1, rounds + 1):
-            pair = self._refresh(pair)
+            pair = self._refresh(pair, self.SUB_DEPTH)
             pair = self.sub_bytes(pair)
-            pair = self.shift_rows(pair) if r == 10 else self.shift_mix(pair)
+            if r == 10:
+                pair = self.shift_rows(pair)
+            else:
+                pair = self._refresh(pair, self.MIX_DEPTH)
+                pair = self.shift_mix(pair)
+            pair = self._refresh(pair, self.ARK_DEPTH)
             pair = self.add_round_key(pair, r)
         return pair
 

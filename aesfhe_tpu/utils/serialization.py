@@ -1,0 +1,82 @@
+"""Checkpoint / resume: serialize keys and ciphertexts to disk.
+
+The reference never persists anything -- keys are regenerated every run and
+ciphertexts never leave memory (/root/reference/engine_context.py:62-73;
+SURVEY.md section 5 "Checkpoint/resume: none").  Here the RNS limb arrays
+and scale/level metadata round-trip through .npz files so a multi-round
+evaluation can resume per round and keygen cost is paid once.
+"""
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Any
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..core.ciphertext import Ciphertext, Plaintext
+from ..core.keys import SecretKey, PublicKey, SwitchKey, GaloisKeySet
+
+
+def save_ciphertext(path: Path, ct: Ciphertext):
+    np.savez_compressed(path, data=np.asarray(ct.data), scale=ct.scale,
+                        kind="ciphertext")
+
+
+def load_ciphertext(path: Path) -> Ciphertext:
+    z = np.load(path)
+    return Ciphertext(jnp.asarray(z["data"]), float(z["scale"]))
+
+
+def save_keys(path: Path, *, secret: SecretKey | None = None,
+              public: PublicKey | None = None,
+              relin: SwitchKey | None = None,
+              conj: SwitchKey | None = None,
+              rotation: GaloisKeySet | None = None):
+    """Persist any subset of the key family into one .npz."""
+    arrays: dict[str, np.ndarray] = {}
+    meta: dict[str, Any] = {"galois_elts": []}
+    if secret is not None:
+        arrays["secret_s_eval"] = np.asarray(secret.s_eval)
+        arrays["secret_s_coeff"] = secret.s_coeff
+    if public is not None:
+        arrays["public_b"] = np.asarray(public.b)
+        arrays["public_a"] = np.asarray(public.a)
+    if relin is not None:
+        arrays["relin_b"] = np.asarray(relin.b)
+        arrays["relin_a"] = np.asarray(relin.a)
+    if conj is not None:
+        arrays["conj_b"] = np.asarray(conj.b)
+        arrays["conj_a"] = np.asarray(conj.a)
+    if rotation is not None:
+        for g, k in rotation.keys.items():
+            arrays[f"rot_{g}_b"] = np.asarray(k.b)
+            arrays[f"rot_{g}_a"] = np.asarray(k.a)
+            meta["galois_elts"].append(g)
+    arrays["_meta"] = np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8)
+    np.savez_compressed(path, **arrays)
+
+
+def load_keys(path: Path) -> dict:
+    z = np.load(path)
+    meta = json.loads(bytes(z["_meta"]).decode()) if "_meta" in z else {}
+    out: dict[str, Any] = {}
+    if "secret_s_eval" in z:
+        out["secret"] = SecretKey(jnp.asarray(z["secret_s_eval"]),
+                                  z["secret_s_coeff"])
+    if "public_b" in z:
+        out["public"] = PublicKey(jnp.asarray(z["public_b"]),
+                                  jnp.asarray(z["public_a"]))
+    if "relin_b" in z:
+        out["relin"] = SwitchKey(jnp.asarray(z["relin_b"]),
+                                 jnp.asarray(z["relin_a"]))
+    if "conj_b" in z:
+        out["conj"] = SwitchKey(jnp.asarray(z["conj_b"]),
+                                jnp.asarray(z["conj_a"]))
+    elts = meta.get("galois_elts", [])
+    if elts:
+        out["rotation"] = GaloisKeySet(keys={
+            g: SwitchKey(jnp.asarray(z[f"rot_{g}_b"]),
+                         jnp.asarray(z[f"rot_{g}_a"])) for g in elts})
+    return out

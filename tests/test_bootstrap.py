@@ -1,0 +1,57 @@
+"""CKKS bootstrap tests (slow: ~5 min on the 2-CPU CI host).
+
+The reference delegates bootstrapping entirely to desilofhe
+(/root/reference/xor_service.py:120-129); these tests exercise our from-
+scratch ModRaise/CoeffToSlot/EvalMod/SlotToCoeff chain end to end.
+"""
+import numpy as np
+import pytest
+
+from aesfhe_tpu.core import keys as keys_mod
+from aesfhe_tpu.core.params import CKKSParams
+from aesfhe_tpu.core.engine import Engine
+from aesfhe_tpu.ops.zeta import ZetaEncoder
+
+
+@pytest.fixture(scope="module")
+def boot():
+    eng = Engine(CKKSParams(n=1 << 9, max_level=22, scale_bits=25,
+                            first_prime_bits=28, num_special_primes=4,
+                            secret_hamming=16), use_bootstrap=True)
+    sk = eng.create_secret_key()
+    pk = eng.create_public_key(sk)
+    rlk = eng.create_relinearization_key(sk)
+    conj = eng.create_conjugation_key(sk)
+    bk = eng.create_bootstrap_key(sk)
+    return dict(eng=eng, sk=sk, pk=pk, rlk=rlk, conj=conj, bk=bk)
+
+
+@pytest.mark.slow
+def test_bootstrap_zeta16_roundtrip(boot):
+    eng = boot["eng"]
+    sc = eng.slot_count
+    rng = np.random.default_rng(1)
+    vals = rng.integers(0, 16, sc, dtype=np.uint8)
+    z = ZetaEncoder.to_zeta(vals, 16)
+    ct = eng.encrypt(z, boot["pk"])
+    low = eng._drop(ct, 0)           # exhausted ciphertext
+    out = eng.bootstrap(low, boot["rlk"], boot["conj"], boot["bk"])
+    assert out.level > 4, "bootstrap must return usable levels"
+    dec = eng.decrypt(out, boot["sk"])
+    assert np.max(np.abs(dec - z)) < 0.19
+    assert np.array_equal(ZetaEncoder.from_zeta(dec, 16), vals)
+
+
+@pytest.mark.slow
+def test_bootstrap_then_compute(boot):
+    # the refreshed ciphertext must support further homomorphic ops
+    eng = boot["eng"]
+    sc = eng.slot_count
+    vals = np.arange(sc) % 16
+    z = ZetaEncoder.to_zeta(vals, 16)
+    ct = eng.encrypt(z, boot["pk"])
+    out = eng.bootstrap(eng._drop(ct, 0), boot["rlk"], boot["conj"],
+                        boot["bk"])
+    sq = eng.multiply(out, out, boot["rlk"])
+    dec = eng.decrypt(sq, boot["sk"])
+    assert np.max(np.abs(dec - z * z)) < 0.4

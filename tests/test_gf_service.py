@@ -33,6 +33,7 @@ def test_mul3_all_bytes(gf_svc, hp_engine):
     _roundtrip(gf_svc, hp_engine, 3)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("m", [9, 11, 13, 14])
 def test_inverse_multipliers(gf_svc, hp_engine, m):
     _roundtrip(gf_svc, hp_engine, m)

@@ -53,6 +53,7 @@ def test_merged_shift_mix_simd(deep):
     assert np.array_equal(got, want)
 
 
+@pytest.mark.slow
 def test_merged_inverse_roundtrip(deep):
     sc = deep["wrap"].engine.slot_count
     rng = np.random.default_rng(1)

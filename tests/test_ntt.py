@@ -86,3 +86,12 @@ def test_negacyclic_convolution(setup):
             k, sign = (i + j, 1) if i + j < N else (i + j - N, -1)
             ref[k] = (ref[k] + sign * int(a[0, i]) * int(b[0, j])) % q
     assert np.array_equal(prod[0].astype(object), ref)
+
+
+def test_analytic_eval_order(setup):
+    # params.py relies on sigma[i] == 2*bitrev(i)+1; pin it here against the
+    # empirical monomial scan
+    s = setup
+    emp = np.asarray(ntt.eval_order_exponents(N, s["q"], s["psi"]))
+    rev = ntt.bit_reverse_perm(N)
+    assert np.array_equal(emp, 2 * rev + 1)

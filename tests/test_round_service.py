@@ -68,3 +68,20 @@ def test_row_blocked_shift_rows(ark, test_engine):
         seg = rb[4 * r * mb:4 * (r + 1) * mb]
         want[4 * r * mb:4 * (r + 1) * mb] = np.roll(seg, -r * mb)
     assert np.array_equal(out, want)
+
+
+class DummyEngine:
+    """decrypt == identity (port of /root/reference/test/test_recombine_mixcol.py:9-13)."""
+
+    def decrypt(self, ct):
+        return ct
+
+
+def test_decrypt_and_recombine_dummy():
+    import numpy as np
+    from aesfhe_tpu.ops.zeta import ZetaEncoder
+    vals = np.arange(32, dtype=np.uint8)
+    hi = ZetaEncoder.to_zeta(vals >> 4, 16)
+    lo = ZetaEncoder.to_zeta(vals & 0xF, 16)
+    out = decrypt_and_recombine(hi, lo, DummyEngine(), length=32)
+    assert np.array_equal(out, vals)

@@ -33,6 +33,7 @@ def test_coeff_files_reconstruct_sbox():
     assert np.array_equal(out, AES_SBOX)
 
 
+@pytest.mark.slow
 def test_sub_bytes_array_all_bytes(sbox_svc, hp_engine):
     # exhaustive: all 256 inputs in one SIMD ciphertext
     # (/root/reference/test/test_sbox_service.py:55-66)
