@@ -111,9 +111,8 @@ def _apply_linear_map(engine, ct: Ciphertext, diag_fn, tag: str,
     params = engine.params
     sc = params.slot_count
     B, G = bk.baby, bk.giant
-    babies = [ct]
-    for b in range(1, B):
-        babies.append(engine.rotate(ct, bk.rot, b))
+    # hoisted baby rotations: one shared digit decomposition for all B steps
+    babies = engine.hoisted_rotations(ct, bk.rot, list(range(B)))
     out = None
     for g in range(G):
         acc = None

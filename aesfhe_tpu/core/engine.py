@@ -280,6 +280,7 @@ class Engine:
     def _adjust_scale(self, ct: Ciphertext, target_scale: float) -> Ciphertext:
         """Multiply by 1.0 encoded at sigma so that after rescale the scale is
         exactly target_scale.  Consumes one level."""
+        self._check_levels(ct.level)
         qprod = 1.0
         for i in range(self.params.rescale_primes):
             qprod *= self.params.q_primes[ct.level - i]
@@ -446,6 +447,37 @@ class Engine:
                 out = self._apply_galois(out, g, rot_keys.keys[g])
             remaining >>= 1
             p2 <<= 1
+        return out
+
+    def hoisted_rotations(self, ct: Ciphertext, rot_keys: GaloisKeySet,
+                          steps: Sequence[int]) -> list[Ciphertext]:
+        """Rotate `ct` by each step, sharing ONE digit decomposition.
+
+        The decompose+extend+NTT stage dominates a key-switch; hoisting pays
+        it once for the whole batch (classic BSGS/bootstrap optimization the
+        reference's engine cannot express through its per-op FFI,
+        SURVEY.md section 2.3 item 4).  Every step must have a direct key.
+        """
+        if ct.degree != 1:
+            raise RuntimeError("rotate expects a degree-1 ciphertext")
+        sc = self.params.slot_count
+        d_eval = ops_impl.ks_decompose(self.params, self.tabs, ct.data[1])
+        out = []
+        for s in steps:
+            s = s % sc
+            if s == 0:
+                out.append(ct)
+                continue
+            g = self.params.rot_galois_elt(s)
+            if g not in rot_keys.keys:
+                raise KeyError(f"no rotation key for step {s}")
+            key = rot_keys.keys[g]
+            perm = jnp.asarray(self.params.galois_perm(g))
+            data = ops_impl.hoisted_rotate(self.params, self.tabs, ct.data,
+                                           d_eval, perm, key.b, key.a)
+            self._count("keyswitch")
+            self._count("rotate")
+            out.append(Ciphertext(data, ct.scale))
         return out
 
     def conjugate(self, ct: Ciphertext, conj_key: SwitchKey) -> Ciphertext:

@@ -326,6 +326,94 @@ def mod_raise_core(params: CKKSParams, tabs: DeviceTables, a):
 # ---------------------------------------------------------------------------
 
 @functools.partial(jax.jit, static_argnums=0)
+def ks_decompose(params: CKKSParams, tabs: DeviceTables, c_eval):
+    """Digit-decompose + basis-extend + NTT a polynomial for key switching.
+
+    Returns d_eval [dnum_active, M, N] (Montgomery eval over active q +
+    specials).  Split out of `keyswitch` so rotation *hoisting* can share one
+    decomposition across many Galois applications: automorphisms commute
+    with the decomposition limb-wise, so sigma_g(digits) == digits permuted.
+    """
+    lp1, n = c_eval.shape
+    level = lp1 - 1
+    kst = params.ks_tables(level)
+    basis = kst["basis"]
+    rows_q = _rows(params, level, False)
+    rows_b = _rows(params, level, True)
+    tr_q = _tabs_rows(tabs, rows_q)
+    tr_b = _tabs_rows(tabs, rows_b)
+    c_coeff = intt_rows(c_eval, tr_q)
+    c_plain = rns.from_mont(c_coeff, tr_q["q"].reshape(-1, 1),
+                            tr_q["qinv"].reshape(-1, 1))
+    q_basis = jnp.asarray(basis).reshape((-1, 1))
+    digits_ext = []
+    for g in kst["groups"]:
+        limbs = g["limbs"]
+        cg = c_plain[jnp.asarray(np.asarray(limbs, dtype=np.int32))]
+        qg = jnp.asarray(np.asarray([params.q_primes[i] for i in limbs],
+                                    dtype=np.uint32)).reshape((-1, 1))
+        y = rns.shoup_mul(cg, jnp.asarray(g["inv_w"]).reshape((-1, 1)),
+                          jnp.asarray(g["inv_sh"]).reshape((-1, 1)), qg)
+        acc = None
+        for a_i in range(len(limbs)):
+            term = rns.shoup_mul(
+                y[a_i][None, :],
+                jnp.asarray(g["conv_w"][a_i]).reshape((-1, 1)),
+                jnp.asarray(g["conv_sh"][a_i]).reshape((-1, 1)),
+                q_basis)
+            acc = term if acc is None else rns.add_mod(acc, term, q_basis)
+        digits_ext.append(acc)
+    dstack = jnp.stack(digits_ext)
+    qb = tr_b["q"].reshape((1, -1, 1))
+    dm = rns.to_mont(dstack, qb, tr_b["qinv"].reshape((1, -1, 1)),
+                     tr_b["r2"].reshape((1, -1, 1)))
+    return ntt_rows(dm, tr_b)
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def ks_inner_and_moddown(params: CKKSParams, tabs: DeviceTables, d_eval,
+                         key_b, key_a):
+    """Inner product of extended digits with a switch key + P mod-down."""
+    M = d_eval.shape[1]
+    level = M - 1 - params.num_special
+    rows_b = _rows(params, level, True)
+    tr_b = _tabs_rows(tabs, rows_b)
+    qb = tr_b["q"].reshape((-1, 1))
+    qinv_b = tr_b["qinv"].reshape((-1, 1))
+    rows_key = jnp.asarray(rows_b)
+    acc_b = acc_a = None
+    for j in range(d_eval.shape[0]):
+        kb = key_b[j][rows_key]
+        ka = key_a[j][rows_key]
+        tb = rns.mont_mul(d_eval[j], kb, qb, qinv_b)
+        ta = rns.mont_mul(d_eval[j], ka, qb, qinv_b)
+        acc_b = tb if acc_b is None else rns.add_mod(acc_b, tb, qb)
+        acc_a = ta if acc_a is None else rns.add_mod(acc_a, ta, qb)
+    b_out = _mod_down_specials(params, tabs, acc_b, level)
+    a_out = _mod_down_specials(params, tabs, acc_a, level)
+    return b_out, a_out
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def hoisted_rotate(params: CKKSParams, tabs: DeviceTables, data, d_eval,
+                   perm, key_b, key_a):
+    """Apply one Galois rotation given the SHARED decomposition d_eval of c1.
+
+    sigma_g(c1) decomposes into sigma_g of each digit (the decomposition is
+    limb-wise), so one ks_decompose serves every rotation: permute the
+    extended digits, inner-product with that rotation's key, mod-down, and
+    add the permuted c0.
+    """
+    p0 = data[0][..., perm]
+    d_perm = d_eval[..., perm]
+    b, a = ks_inner_and_moddown(params, tabs, d_perm, key_b, key_a)
+    level = data.shape[1] - 1
+    tr = _tabs_rows(tabs, _rows(params, level, False))
+    q = tr["q"].reshape((-1, 1))
+    return jnp.stack([rns.add_mod(p0, b, q), a])
+
+
+@functools.partial(jax.jit, static_argnums=0)
 def keyswitch(params: CKKSParams, tabs: DeviceTables, c_eval, key_b, key_a):
     """Switch a single polynomial c (under s') to a pair under s.
 

@@ -225,10 +225,10 @@ _PROFILES = dict(
     test=dict(n=1 << 12, max_level=16, scale_bits=26, num_special_primes=3),
     # deep: small insecure ring with a long chain, for exercising the full
     # AES round circuits in CI without bootstrap
-    deep=dict(n=1 << 12, max_level=32, scale_bits=26, num_special_primes=6),
+    deep=dict(n=1 << 12, max_level=48, scale_bits=27, num_special_primes=6),
     # hp: high-precision 2^52 scale (prime-pair rescale) for the byte-domain
     # degree-255 LUT services (GF/S-box/256x256-XOR)
-    hp=dict(n=1 << 12, max_level=12, scale_bits=52, num_special_primes=3),
+    hp=dict(n=1 << 12, max_level=14, scale_bits=52, num_special_primes=3),
     prod=dict(n=1 << 16, max_level=35, scale_bits=27, num_special_primes=6),
     # prod_hp: full-size high-precision ring, ~128-bit secure
     # (logQP = 60 + 48*26 + 6*30 = 1488 < 1792 for N=2^16)

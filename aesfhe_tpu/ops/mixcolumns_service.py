@@ -144,21 +144,15 @@ class AESFHETransformer:
         r = eng.rotate(ct, rot) if rot % eng.engine.slot_count else ct
         return eng.multiply_plain(r, mask)
 
-    def _mix_terms(self, tms: Dict[int, NibblePair], matrix,
-                   inverse: bool) -> list[NibblePair]:
-        """V_j = sum_r mask(r,...) * rot(T_{matrix[r][j]}); the four XOR
-        operands of the merged transform."""
-        eng = self.eng
+    def _term_plan(self, matrix, inverse: bool):
+        """[(j, m, mask_key, delta)] for every nonempty masked-rotation term;
+        exact in-block source offsets validated against the plain oracle in
+        tests/test_mixcolumns."""
         row, col = self._row, self._col
-        vs = []
+        plan = []
         for j in range(4):
-            acc_h = None
-            acc_l = None
             for r in range(4):
                 m = matrix[r][j]
-                t = tms[m]
-                # exact in-block source offsets (see module docstring;
-                # validated against the plain oracle in tests/test_mixcolumns)
                 if not inverse:
                     d = 5 * j - r                 # may be negative
                     wrapped = (col + j) >= 4      # output col c with c+j>=4
@@ -167,22 +161,53 @@ class AESFHETransformer:
                     d = j - 5 * r
                     wrapped = col < r
                     d_wrap = d + 16
-                mask_a = ((row == r) & ~wrapped).astype(float)
-                mask_b = ((row == r) & wrapped).astype(float)
-                for which, (mask, delta) in enumerate(
-                        ((mask_a, d), (mask_b, d_wrap))):
+                for which, (mask, delta) in enumerate((
+                        (((row == r) & ~wrapped).astype(float), d),
+                        (((row == r) & wrapped).astype(float), d_wrap))):
                     if not mask.any():
                         continue
                     ck = (r, j, inverse, which)
-                    pm = self._mask_cache.get(ck)
-                    if pm is None:
-                        pm = eng.encode(mask)
-                        self._mask_cache[ck] = pm
-                    # out[p] = T[p + delta]  ==  roll by -delta
-                    th = self._masked_rot(t.hi, pm, -delta)
-                    tl = self._masked_rot(t.lo, pm, -delta)
-                    acc_h = th if acc_h is None else eng.add(acc_h, th)
-                    acc_l = tl if acc_l is None else eng.add(acc_l, tl)
+                    if ck not in self._mask_cache:
+                        self._mask_cache[ck] = self.eng.encode(mask)
+                    plan.append((j, m, ck, delta))
+        return plan
+
+    def _mix_terms(self, tms: Dict[int, NibblePair], matrix,
+                   inverse: bool) -> list[NibblePair]:
+        """V_j = sum_r mask(r,...) * rot(T_{matrix[r][j]}); the four XOR
+        operands of the merged transform.  All rotations of one T share a
+        hoisted digit decomposition when direct rotation keys exist."""
+        eng = self.eng
+        sc = eng.engine.slot_count
+        plan = self._term_plan(matrix, inverse)
+        # rotations grouped per source ciphertext: rot amount = -delta
+        steps_per_m: Dict[int, list] = {}
+        for j, m, ck, delta in plan:
+            steps_per_m.setdefault(m, set()).add((-delta) % sc)
+        rotated: Dict[int, Dict[int, NibblePair]] = {}
+        for m, steps in steps_per_m.items():
+            steps = sorted(steps)
+            t = tms[m]
+            try:
+                his = eng.engine.hoisted_rotations(t.hi, eng.rot_key, steps)
+                los = eng.engine.hoisted_rotations(t.lo, eng.rot_key, steps)
+            except KeyError:
+                his = [eng.rotate(t.hi, s) for s in steps]
+                los = [eng.rotate(t.lo, s) for s in steps]
+            rotated[m] = {s: NibblePair(h, l)
+                          for s, h, l in zip(steps, his, los)}
+        vs = []
+        for j in range(4):
+            acc_h = acc_l = None
+            for jj, m, ck, delta in plan:
+                if jj != j:
+                    continue
+                pm = self._mask_cache[ck]
+                t = rotated[m][(-delta) % sc]
+                th = eng.multiply_plain(t.hi, pm)
+                tl = eng.multiply_plain(t.lo, pm)
+                acc_h = th if acc_h is None else eng.add(acc_h, th)
+                acc_l = tl if acc_l is None else eng.add(acc_l, tl)
             vs.append(NibblePair(acc_h, acc_l))
         return vs
 

@@ -87,16 +87,13 @@ class SBoxService:
         ~34 key-switches instead of ~130.
         """
         eng = self.wrap
-        baby_pos = eng.make_power_basis(enc_arr, 8)
-        baby = {k: baby_pos[k - 1] for k in range(1, 9)}
-        for k in range(9, 16):
-            # t^k = conj(t^(256-k))... not in baby range; use t^8 * t^(k-8)
-            baby[k] = eng.multiply(baby[8], baby[k - 8], self.rlk)
+        # make_power_basis normalizes every power to a common (level, scale),
+        # which the fused inner product requires
+        baby_pos = eng.make_power_basis(enc_arr, 15)
+        baby = {k: baby_pos[k - 1] for k in range(1, 16)}
         t16 = eng.multiply(baby[8], baby[8], self.rlk)       # t^16
-        giant_pos = eng.make_power_basis(t16, 8)
-        giant = {g: giant_pos[g - 1] for g in range(1, 9)}
-        for g in range(9, 16):
-            giant[g] = eng.multiply(giant[8], giant[g - 8], self.rlk)
+        giant_pos = eng.make_power_basis(t16, 15)
+        giant = {g: giant_pos[g - 1] for g in range(1, 16)}
         out = None
         for coeffs in (self.coeffs_hi, self.coeffs_lo):
             lhs, rhs = [], []

@@ -51,23 +51,26 @@ class AESFHEShiftRows:
         self._row_mask_simd = [
             self.eng.encode((row == r).astype(float)) for r in range(4)]
 
-    # -- reference-parity single-block behavior -------------------------
+    # -- public API ------------------------------------------------------
     def shift_rows(self, ct: Ciphertext) -> Ciphertext:
+        """ShiftRows on every packed block.  Delegates to the SIMD in-block
+        implementation: the reference's single global rotation per row
+        (/root/reference/shiftrows_service.py:41-51) leaks the wrapping
+        column past the block boundary, so its output is wrong at the row
+        wrap even for a single block."""
+        return self.shift_rows_simd(ct)
+
+    def inverse_shift_rows(self, ct: Ciphertext) -> Ciphertext:
+        return self.shift_rows_simd(ct, inverse=True)
+
+    def shift_rows_reference_layout(self, ct: Ciphertext) -> Ciphertext:
+        """Bug-for-bug port of the reference's masked single-rotation
+        variant (kept for behavioral comparison only)."""
         out = None
         for r in range(4):
             m = self.eng.multiply_plain(ct, self.masks[r])
             if self.row_rot[r] != 0:
                 m = self.eng.rotate(m, self.row_rot[r])
-            out = m if out is None else self.eng.add(out, m)
-        return out
-
-    def inverse_shift_rows(self, ct: Ciphertext) -> Ciphertext:
-        inv_rot = [0, 4, 8, 12]
-        out = None
-        for r in range(4):
-            m = self.eng.multiply_plain(ct, self.masks[r])
-            if inv_rot[r] != 0:
-                m = self.eng.rotate(m, inv_rot[r])
             out = m if out is None else self.eng.add(out, m)
         return out
 

@@ -345,6 +345,26 @@ class XORService:
         # optional identity LUT in the zeta16 domain (nibble_test.json parity)
         return enc_hi, enc_lo
 
+    def cleanse(self, ct: Ciphertext, modulus: int = 16) -> Ciphertext:
+        """Noise cleanse on roots of unity: z -> ((m+1)z - z^(m+1))/m.
+
+        For z = zeta*(1+e) the first-order error term cancels exactly (in
+        both phase and magnitude), so accumulated CKKS noise is squashed to
+        O(m*e^2).  Deep compositions (full AES rounds) would otherwise push
+        the zeta16 phase error past the decode boundary; the reference never
+        gets deep enough to need this (SURVEY.md section 1 L5).
+        Cost: 5 multiplies (z^2, z^4, z^8, z^16, z^17) + one fused combo.
+        """
+        eng = self.eng_wrap
+        assert modulus == 16, "cleanse currently tuned for the nibble domain"
+        z2 = eng.multiply(ct, ct)
+        z4 = eng.multiply(z2, z2)
+        z8 = eng.multiply(z4, z4)
+        z16 = eng.multiply(z8, z8)
+        z17 = eng.multiply(z16, ct)
+        m = float(modulus)
+        return eng.linear_combination([ct, z17], [(m + 1) / m, -1.0 / m])
+
     def lift_lo(self, lo16_ct: Ciphertext) -> Ciphertext:
         """zeta16^l -> zeta256^l via the 16-point lo_lift LUT (TPU build's
         consistent replacement for the reference's broken recombine,

@@ -97,12 +97,18 @@ class AESFHE128:
         return NibblePair(self.xor._xor_with_plain_nibbles(pair.hi, k_hi),
                           self.xor._xor_with_plain_nibbles(pair.lo, k_lo))
 
-    def sub_bytes(self, pair: NibblePair, inverse: bool = False) -> NibblePair:
+    def sub_bytes(self, pair: NibblePair, inverse: bool = False,
+                  cleanse: bool = True) -> NibblePair:
         caches = self._inv_sbox2d if inverse else self._sbox2d
         bases = (self.xor._build_power_basis(pair.hi),
                  self.xor._build_power_basis(pair.lo))
         hi = self.tf._bilinear(bases[0], bases[1], caches[0].load_coeffs())
         lo = self.tf._bilinear(bases[0], bases[1], caches[1].load_coeffs())
+        if cleanse:
+            # squash accumulated noise before MixColumns' deep XOR tree
+            # amplifies it past the zeta16 decode margin
+            hi = self.xor.cleanse(hi)
+            lo = self.xor.cleanse(lo)
         return NibblePair(hi, lo)
 
     def shift_rows(self, pair: NibblePair, inverse: bool = False) -> NibblePair:

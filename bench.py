@@ -95,19 +95,29 @@ def main():
     device_bps = run_leg(logn, levels, iters)
     vs = 0.0
     if not os.environ.get("AESFHE_BENCH_SKIP_CPU"):
-        env = dict(os.environ)
-        env["AESFHE_PLATFORM"] = "cpu"
-        env["AESFHE_BENCH_CHILD"] = "1"
-        env["AESFHE_BENCH_ITERS"] = "1"
-        try:
-            r = subprocess.run([sys.executable, os.path.abspath(__file__)],
-                               env=env, capture_output=True, text=True,
-                               timeout=5400)
-            cpu_bps = float(json.loads(
-                r.stdout.strip().splitlines()[-1])["value"])
-            vs = device_bps / cpu_bps if cpu_bps > 0 else 0.0
-        except Exception:
-            vs = 0.0
+        cache = f"/root/.cache/aesfhe_cpu_leg_{logn}_{levels}.json"
+        cpu_bps = None
+        if os.path.exists(cache):
+            try:
+                cpu_bps = float(json.loads(open(cache).read())["value"])
+            except Exception:
+                cpu_bps = None
+        if cpu_bps is None:
+            env = dict(os.environ)
+            env["AESFHE_PLATFORM"] = "cpu"
+            env["AESFHE_BENCH_CHILD"] = "1"
+            env["AESFHE_BENCH_ITERS"] = "1"
+            try:
+                r = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                                   env=env, capture_output=True, text=True,
+                                   timeout=5400)
+                cpu_bps = float(json.loads(
+                    r.stdout.strip().splitlines()[-1])["value"])
+                os.makedirs("/root/.cache", exist_ok=True)
+                open(cache, "w").write(json.dumps({"value": cpu_bps}))
+            except Exception:
+                cpu_bps = None
+        vs = device_bps / cpu_bps if cpu_bps else 0.0
     blocks = (1 << logn) // 32
     print(json.dumps({
         "metric": "aes_fhe_ark_subbytes_round_step_blocks_per_s",

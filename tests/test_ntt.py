@@ -95,3 +95,23 @@ def test_analytic_eval_order(setup):
     emp = np.asarray(ntt.eval_order_exponents(N, s["q"], s["psi"]))
     rev = ntt.bit_reverse_perm(N)
     assert np.array_equal(emp, 2 * rev + 1)
+
+
+def test_pallas_ntt_matches_unrolled():
+    # fused Pallas kernel (interpret mode on CPU) vs the unrolled reference
+    from aesfhe_tpu.core import pallas_ntt
+    n = 1 << 13
+    primes = tuple(rns.find_ntt_primes(26, 2 * n, 2))
+    tabs = ntt.NTTTables(n, primes)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(np.stack([rng.integers(0, q, n, dtype=np.uint32)
+                              for q in primes]))
+    w, wsh, q = (jnp.asarray(tabs.w), jnp.asarray(tabs.w_sh),
+                 jnp.asarray(tabs.q))
+    ref = ntt.ntt_fwd_unrolled(x, w, wsh, q)
+    tw, twsh = pallas_ntt.build_tail_tables(n, tabs.w, tabs.w_sh)
+    rw, rwsh = pallas_ntt.build_row_tables(n, tabs.w, tabs.w_sh)
+    got = pallas_ntt.ntt_fwd_pallas(n, x, jnp.asarray(rw), jnp.asarray(rwsh),
+                                    jnp.asarray(tw), jnp.asarray(twsh), q,
+                                    True)
+    assert np.array_equal(np.asarray(got), np.asarray(ref))
