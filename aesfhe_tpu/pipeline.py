@@ -158,6 +158,22 @@ class AESFHE128:
             pair = self.add_round_key(pair, r)
         return pair
 
+    def decrypt_rounds(self, pair: NibblePair, rounds: int = 10) -> NibblePair:
+        """Inverse cipher (FIPS-197 equivalent-inverse order): undo rounds
+        `rounds`..1 then ARK(rk0).  The reference has no decryption path at
+        all (its inverse transformer raises NotImplementedError,
+        /root/reference/mixcolumns_service.py:85-88)."""
+        for r in range(rounds, 0, -1):
+            pair = self._refresh(pair, self.ARK_DEPTH + self.MIX_DEPTH)
+            pair = self.add_round_key(pair, r)
+            if r == 10:
+                pair = self.shift_rows(pair, inverse=True)
+            else:
+                pair = self.shift_mix(pair, inverse=True)
+            pair = self._refresh(pair, self.SUB_DEPTH)
+            pair = self.sub_bytes(pair, inverse=True)
+        return self.add_round_key(pair, 0)
+
     def encrypt_bytes(self, data: bytes, rounds: int = 10) -> bytes:
         """Host bytes in, homomorphically AES-encrypted host bytes out."""
         flat, nblocks = self.pack_blocks(data)
