@@ -95,6 +95,46 @@ def build_tail_tables(n: int, w: np.ndarray, w_sh: np.ndarray):
     return tails_w, tails_sh
 
 
+def build_inv_tables(n: int, wi: np.ndarray, wi_sh: np.ndarray):
+    """Twiddle tables for the inverse kernel.
+
+    Returns (tail_w, tail_sh, row_w, row_sh):
+      tail: [L, 7, N] transposed-layout per-element twiddles for GS stages
+            k = 0..6 (t = 1..64): wi[m + (orig >> (k+1))], m = N/2^(k+1)
+      row:  [L, S_row, R] per-row twiddles for stages k = 7..logn-1:
+            wi[m + (r >> (k-6))]
+    """
+    L = wi.shape[0]
+    logn = n.bit_length() - 1
+    R = n // LANES
+    o = np.arange(n)
+    row, col = o // LANES, o % LANES
+    if R >= LANES:
+        b = row // LANES
+        o_t = (b * LANES + col) * LANES + (row % LANES)
+    else:
+        o_t = col * R + row
+    inv = np.zeros(n, dtype=np.int64)
+    inv[o_t] = o
+    tail_w = np.zeros((L, TAIL_STAGES, n), dtype=np.uint32)
+    tail_sh = np.zeros((L, TAIL_STAGES, n), dtype=np.uint32)
+    for k in range(TAIL_STAGES):
+        m = n >> (k + 1)
+        idx = m + (inv >> (k + 1))
+        tail_w[:, k, :] = wi[:, idx]
+        tail_sh[:, k, :] = wi_sh[:, idx]
+    s_row = logn - TAIL_STAGES
+    rows = np.arange(R)
+    row_w = np.zeros((L, s_row, R), dtype=np.uint32)
+    row_sh = np.zeros((L, s_row, R), dtype=np.uint32)
+    for i, k in enumerate(range(TAIL_STAGES, logn)):
+        m = n >> (k + 1)
+        idx = m + (rows >> (k - TAIL_STAGES + 1))
+        row_w[:, i, :] = wi[:, idx]
+        row_sh[:, i, :] = wi_sh[:, idx]
+    return tail_w, tail_sh, row_w, row_sh
+
+
 def _transpose_tiles(x, R: int):
     """[R, 128] <-> transposed tile layout (see build_tail_tables)."""
     if R >= LANES:
@@ -195,4 +235,88 @@ def ntt_fwd_pallas(n: int, x, rows_w, rows_sh, tails_w, tails_sh, q,
         out_shape=jax.ShapeDtypeStruct((L, R, LANES), jnp.uint32),
         interpret=interpret,
     )(x3, rw4, rwsh4, tw4, twsh4, q2)
+    return out.reshape(L, n)
+
+
+def _inv_kernel(logn: int, x_ref, tw_ref, twsh_ref, rw_ref, rwsh_ref, q_ref,
+                o_ref):
+    n = 1 << logn
+    R = n // LANES
+    q = q_ref[pl.program_id(0), 0]
+    x = x_ref[0]
+    # --- tail GS stages (t = 1..64) in transposed tiles ---
+    xt = _transpose_tiles(x, R)
+    Rp = xt.shape[0]
+    width = xt.shape[1]
+    blocks = Rp // LANES if Rp >= LANES else 1
+    for k in range(TAIL_STAGES):
+        t = 1 << k
+        g = LANES // (2 * t)
+        xr = xt.reshape(blocks, g, 2, t, width)
+        u = xr[:, :, 0]
+        v = xr[:, :, 1]
+        twr = tw_ref[0, k].reshape(blocks, g, 2, t, width)[:, :, 1]
+        twsr = twsh_ref[0, k].reshape(blocks, g, 2, t, width)[:, :, 1]
+        s_uv = u + v
+        s_uv = jnp.where(s_uv >= q, s_uv - q, s_uv)
+        d_uv = jnp.where(u >= v, u - v, u + q - v)
+        d_uv = _shoup(d_uv, twr, twsr, q)
+        xt = jnp.concatenate([s_uv[:, :, None], d_uv[:, :, None]],
+                             axis=2).reshape(Rp, width)
+    x = _untranspose_tiles(xt, R)
+    # --- row GS stages (t >= 128) ---
+    for i, k in enumerate(range(TAIL_STAGES, logn)):
+        t_r = 1 << (k - TAIL_STAGES)
+        m_r = R // (2 * t_r)
+        xr = x.reshape(m_r, 2, t_r, LANES)
+        u = xr[:, 0]
+        v = xr[:, 1]
+        twr = rw_ref[0, i].reshape(m_r, 2, t_r, 1)[:, 1]
+        twsr = rwsh_ref[0, i].reshape(m_r, 2, t_r, 1)[:, 1]
+        s_uv = u + v
+        s_uv = jnp.where(s_uv >= q, s_uv - q, s_uv)
+        d_uv = jnp.where(u >= v, u - v, u + q - v)
+        d_uv = _shoup(d_uv, twr, twsr, q)
+        x = jnp.concatenate([s_uv[:, None], d_uv[:, None]],
+                            axis=1).reshape(R, LANES)
+    o_ref[0] = x
+
+
+@functools.partial(jax.jit, static_argnums=(0, 7))
+def ntt_inv_pallas(n: int, x, tail_w, tail_sh, row_w, row_sh, q,
+                   interpret: bool = False):
+    """Inverse NTT (WITHOUT the final 1/N scaling -- callers fuse it into the
+    next pointwise op or apply rns.shoup_mul with ninv)."""
+    L = x.shape[0]
+    logn = n.bit_length() - 1
+    R = n // LANES
+    s_row = logn - TAIL_STAGES
+    kernel = functools.partial(_inv_kernel, logn)
+    x3 = x.reshape(L, R, LANES)
+    tw4 = tail_w.reshape(L, TAIL_STAGES, R, LANES)
+    twsh4 = tail_sh.reshape(L, TAIL_STAGES, R, LANES)
+    rw4 = row_w.reshape(L, s_row, R, 1)
+    rwsh4 = row_sh.reshape(L, s_row, R, 1)
+    q2 = q.reshape(L, 1)
+    out = pl.pallas_call(
+        kernel,
+        grid=(L,),
+        in_specs=[
+            pl.BlockSpec((1, R, LANES), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TAIL_STAGES, R, LANES), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TAIL_STAGES, R, LANES), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s_row, R, 1), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s_row, R, 1), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((1, R, LANES), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((L, R, LANES), jnp.uint32),
+        interpret=interpret,
+    )(x3, tw4, twsh4, rw4, rwsh4, q2)
     return out.reshape(L, n)
