@@ -19,7 +19,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from . import rns, ntt
+from . import rns, ntt, mxu_ntt
 from .params import CKKSParams
 
 
@@ -37,11 +37,12 @@ class DeviceTables:
     r2: Any
     magic: Any
     xhalf_sign_neg: Any   # [N] bool: eval slots where X^(N/2) = -zeta4
+    mxu: Any = None       # MXU 4-step NTT tables (dict of [L, ...]) or None
 
     def tree_flatten(self):
         vals = (self.w, self.w_sh, self.wi, self.wi_sh, self.ninv,
                 self.ninv_sh, self.q, self.qinv, self.r2, self.magic,
-                self.xhalf_sign_neg)
+                self.xhalf_sign_neg, self.mxu)
         return vals, None
 
     @classmethod
@@ -51,13 +52,18 @@ class DeviceTables:
     @staticmethod
     def build(params: CKKSParams) -> "DeviceTables":
         t = params.tables
+        mxu = None
+        if mxu_ntt.enabled_for(params.n):
+            host = mxu_ntt.build_tables(params.n, params.all_primes,
+                                        tuple(t.psi))
+            mxu = {k: jnp.asarray(v) for k, v in host.items()}
         return DeviceTables(
             w=jnp.asarray(t.w), w_sh=jnp.asarray(t.w_sh),
             wi=jnp.asarray(t.wi), wi_sh=jnp.asarray(t.wi_sh),
             ninv=jnp.asarray(t.ninv), ninv_sh=jnp.asarray(t.ninv_sh),
             q=jnp.asarray(params.q_arr), qinv=jnp.asarray(params.qinv_arr),
             r2=jnp.asarray(params.r2_arr), magic=jnp.asarray(params.magic_arr),
-            xhalf_sign_neg=jnp.asarray(params.xhalf_sign_neg))
+            xhalf_sign_neg=jnp.asarray(params.xhalf_sign_neg), mxu=mxu)
 
 
 def _rows(params: CKKSParams, level: int, with_special: bool):
@@ -70,17 +76,24 @@ def _rows(params: CKKSParams, level: int, with_special: bool):
 
 def _tabs_rows(tabs: DeviceTables, rows):
     ri = jnp.asarray(rows)
-    return dict(w=tabs.w[ri], w_sh=tabs.w_sh[ri], wi=tabs.wi[ri],
-                wi_sh=tabs.wi_sh[ri], ninv=tabs.ninv[ri],
-                ninv_sh=tabs.ninv_sh[ri], q=tabs.q[ri], qinv=tabs.qinv[ri],
-                r2=tabs.r2[ri], magic=tabs.magic[ri])
+    tr = dict(w=tabs.w[ri], w_sh=tabs.w_sh[ri], wi=tabs.wi[ri],
+              wi_sh=tabs.wi_sh[ri], ninv=tabs.ninv[ri],
+              ninv_sh=tabs.ninv_sh[ri], q=tabs.q[ri], qinv=tabs.qinv[ri],
+              r2=tabs.r2[ri], magic=tabs.magic[ri])
+    if tabs.mxu is not None:
+        tr["mxu"] = {k: v[ri] for k, v in tabs.mxu.items()}
+    return tr
 
 
 def ntt_rows(x, tr):
+    if "mxu" in tr:
+        return mxu_ntt.ntt_fwd_mxu(x, tr["mxu"])
     return ntt.ntt_fwd(x, tr["w"], tr["w_sh"], tr["q"])
 
 
 def intt_rows(x, tr):
+    if "mxu" in tr:
+        return mxu_ntt.ntt_inv_mxu(x, tr["mxu"])
     return ntt.ntt_inv(x, tr["wi"], tr["wi_sh"], tr["q"], tr["ninv"],
                        tr["ninv_sh"])
 

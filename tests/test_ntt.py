@@ -137,3 +137,58 @@ def test_pallas_intt_matches_unrolled():
                         jnp.asarray(tabs.ninv_sh).reshape(-1, 1),
                         q.reshape(-1, 1))
     assert np.array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_mxu_ntt_matches_unrolled():
+    """4-step MXU matmul NTT (core/mxu_ntt.py) is bit-identical to the
+    butterfly reference, fwd + inv + batched leading dims."""
+    from aesfhe_tpu.core import mxu_ntt
+    n = 1 << 12
+    primes = tuple(rns.find_ntt_primes(29, 2 * n, 3))
+    tabs = ntt.NTTTables(n, primes)
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(np.stack([rng.integers(0, q, n, dtype=np.uint32)
+                              for q in primes]))
+    w, wsh, q = (jnp.asarray(tabs.w), jnp.asarray(tabs.w_sh),
+                 jnp.asarray(tabs.q))
+    ref_f = ntt.ntt_fwd_unrolled(x, w, wsh, q)
+    mx = {k: jnp.asarray(v) for k, v in
+          mxu_ntt.build_tables(n, primes, tuple(tabs.psi)).items()}
+    got_f = mxu_ntt.ntt_fwd_mxu(x, mx)
+    assert np.array_equal(np.asarray(got_f), np.asarray(ref_f))
+    ref_i = ntt.ntt_inv_unrolled(ref_f, jnp.asarray(tabs.wi),
+                                 jnp.asarray(tabs.wi_sh), q,
+                                 jnp.asarray(tabs.ninv),
+                                 jnp.asarray(tabs.ninv_sh))
+    got_i = mxu_ntt.ntt_inv_mxu(got_f, mx)
+    assert np.array_equal(np.asarray(got_i), np.asarray(ref_i))
+    xb = jnp.stack([x, x])
+    gb = np.asarray(mxu_ntt.ntt_fwd_mxu(xb, mx))
+    assert np.array_equal(gb[1], np.asarray(ref_f))
+
+
+def test_mxu_engine_roundtrip(monkeypatch):
+    """Whole engine (encrypt -> mul+rescale -> rotate -> decrypt) with the
+    MXU NTT forced on: exercises keyswitch/rescale/mod-down dispatch."""
+    monkeypatch.setenv("AESFHE_MXU_NTT", "1")
+    from aesfhe_tpu.core.params import CKKSParams
+    from aesfhe_tpu.core.engine import Engine
+    p = CKKSParams(n=1 << 10, max_level=6, scale_bits=26,
+                   num_special_primes=2)
+    eng = Engine(p)
+    sk = eng.create_secret_key()
+    pk = eng.create_public_key(sk)
+    rlk = eng.create_relinearization_key(sk)
+    rot_keys = eng.create_fixed_rotation_key(sk, [3])
+    rng = np.random.default_rng(3)
+    a = rng.standard_normal(p.slot_count) + 1j * rng.standard_normal(
+        p.slot_count)
+    b = rng.standard_normal(p.slot_count) + 1j * rng.standard_normal(
+        p.slot_count)
+    ca = eng.encrypt(a, pk)
+    cb = eng.encrypt(b, pk)
+    prod = eng.multiply(ca, cb, rlk)
+    got = eng.decrypt(prod, sk)
+    assert np.max(np.abs(got - a * b)) < 1e-2
+    rot = eng.rotate(ca, rot_keys, 3)
+    assert np.max(np.abs(eng.decrypt(rot, sk) - np.roll(a, 3))) < 1e-3
