@@ -15,23 +15,24 @@ where the TPU's integer throughput is ~2 orders of magnitude higher:
       Out = B @ G           G [n1, i_b] = psi^(2*A*n1*br(i_b))
       out = reshape(Out, (N,))
 
-  i.e. two A x A matmuls plus one elementwise twiddle, with the 16-bit
-  bit-reversal split as br(i) = br8(i_b)*A + br8(i_a) folded into the
-  constant matrices (no gathers, no transposes).  The inverse runs the same
-  shape backwards with inverted/negated tables and a 1/A factor per matmul.
+  i.e. two A x A matmuls plus one elementwise twiddle, with the bit-reversal
+  split br(i) = br8(i_b)*A + br8(i_a) folded into the constant matrices (no
+  gathers, no transposes).  The inverse runs the same shape backwards with
+  inverted/negated tables and a 1/A factor per matmul.
 
-Exact integer matmuls on the MXU: operands are balanced radix-128 digit
-decompositions (5 int8 digits for q < 2^30).  For constant matrix W and data
-X:  W @ X = sum_d (W * 128^d mod q) @ X_d  (mod q), and each premultiplied
-constant is itself digit-decomposed, so
+Exact integer matmuls on the MXU, radix 256: the uint32 data is reinterpreted
+as its 4 little-endian bytes (a free bitcast — no digit arithmetic), bias-
+flipped to int8 (b XOR 0x80 = b - 128), and stacked along the contraction
+axis.  Constant matrices are premultiplied by 256^d mod q per data digit d
+and balanced-decomposed into 4 int8 digits e, so
 
-      W @ X  =  sum_e 128^e * S_e,    S_e = sum_d W^(d)_e @ X_d,
+      W @ X = sum_e 256^e * S_e,   S_e = sum_d W^(d)_e @ (X_d - 128),
 
-with the d-sum realized by stacking digits along the contraction axis and the
-e-partials stacked along the output axis: ONE [5A, 5A] @ [5A, A] int8 matmul
-per step per limb.  |S_e| <= 5A * 64 * 64 < 2^23, exact in int32 (and even in
-float32 accumulation, should a backend lack the s8 MXU path).  The partials
-are folded back mod q on the VPU with one Barrett + Shoup per digit.
+one [4A, 4A] @ [4A, A] int8->int32 matmul per step per limb.  The -128 bias
+contributes a per-row constant (128 * row-sum of W^(d)_e), precomputed into
+`fcorr`/`gcorr` and folded into the mod-q reduction.  |S_e| <= 4A*128*255
+< 2^26, exact in int32.  Partials fold back mod q on the VPU with one
+Barrett + Shoup per digit.
 
 Montgomery convention: data in Montgomery form, constants plain — identical
 to the Shoup-twiddle contract of core/ntt.py, so results are bit-identical
@@ -53,14 +54,14 @@ import jax.numpy as jnp
 from . import rns
 from .ntt import bit_reverse_perm
 
-RADIX_BITS = 7
-RADIX = 1 << RADIX_BITS           # 128: int8-safe balanced digit radix
-NDIG = 5                          # ceil(30 / 7): q < 2^30
-OFF = np.uint32(1 << 23)          # > max |partial sum| = 5A*64*64 (A<=256)
+RADIX_BITS = 8
+RADIX = 1 << RADIX_BITS           # 256: digits are raw little-endian bytes
+NDIG = 4                          # 4 bytes per uint32
+OFF = np.int64(1 << 26)           # > max |true partial| = 4A*128*255 (A<=256)
 
 
 def _balanced_digits_host(m: np.ndarray) -> np.ndarray:
-    """uint array -> int8 [NDIG, *shape], balanced radix-128 digits."""
+    """uint array (< 2^30) -> int8 [NDIG, *shape], balanced radix-256."""
     u = m.astype(np.int64)
     digs = np.zeros((NDIG,) + m.shape, dtype=np.int8)
     for j in range(NDIG - 1):
@@ -73,34 +74,31 @@ def _balanced_digits_host(m: np.ndarray) -> np.ndarray:
     return digs
 
 
-def _const_blocks_left(W: np.ndarray, q: int) -> np.ndarray:
-    """Constant matrix for LEFT matmul (W @ data).
+def _const_blocks(W: np.ndarray, q: int, left: bool):
+    """Digit-expand constant matrix W for an exact int8 matmul.
 
-    Returns int8 [NDIG*A, NDIG*A]: row block e, col block d holds
-    digit_e(W * 128^d mod q); data digits stack along rows (d-major)."""
+    left=True  (W @ data): returns [NDIG*A, NDIG*A] with row block e / col
+      block d = digit_e(W * 256^d mod q), plus corr [NDIG, A] row-sums.
+    left=False (data @ W): transposed block layout (row block d / col block
+      e), corr = column-sums.
+    Both corr arrays hold 128 * sum-over-contraction of the block, i.e. the
+    contribution of the +128 byte bias removed from the data digits.
+    """
     A = W.shape[0]
     out = np.zeros((NDIG * A, NDIG * A), dtype=np.int8)
+    corr = np.zeros((NDIG, A), dtype=np.int64)
     for d in range(NDIG):
         wd = (W * pow(RADIX, d, q)) % q
         digs = _balanced_digits_host(wd)          # [NDIG, A, A]
         for e in range(NDIG):
-            out[e * A:(e + 1) * A, d * A:(d + 1) * A] = digs[e]
-    return out
-
-
-def _const_blocks_right(W: np.ndarray, q: int) -> np.ndarray:
-    """Constant matrix for RIGHT matmul (data @ W).
-
-    Returns int8 [NDIG*A, NDIG*A]: row block d, col block e holds
-    digit_e(W * 128^d mod q); data digits stack along columns."""
-    A = W.shape[0]
-    out = np.zeros((NDIG * A, NDIG * A), dtype=np.int8)
-    for d in range(NDIG):
-        wd = (W * pow(RADIX, d, q)) % q
-        digs = _balanced_digits_host(wd)
-        for e in range(NDIG):
-            out[d * A:(d + 1) * A, e * A:(e + 1) * A] = digs[e]
-    return out
+            if left:
+                out[e * A:(e + 1) * A, d * A:(d + 1) * A] = digs[e]
+                corr[e] += 128 * digs[e].astype(np.int64).sum(axis=1)
+            else:
+                out[d * A:(d + 1) * A, e * A:(e + 1) * A] = digs[e]
+                corr[e] += 128 * digs[e].astype(np.int64).sum(axis=0)
+    assert np.abs(corr).max() < (1 << 31) - int(OFF)
+    return out, (corr + int(OFF)).astype(np.int32)
 
 
 @functools.lru_cache(maxsize=None)
@@ -109,11 +107,12 @@ def build_tables(n: int, primes: tuple[int, ...],
     """Host numpy tables for the 4-step MXU NTT (per-prime leading axis).
 
     Keys (A = sqrt(N)):
-      f, g   : int8 [L, 5A, 5A]  forward step-1 (left) / step-3 (right)
-      gi, fi : int8 [L, 5A, 5A]  inverse step-1 (right) / step-3 (left)
+      f, g   : int8 [L, 4A, 4A]  forward step-1 (left) / step-3 (right)
+      gi, fi : int8 [L, 4A, 4A]  inverse step-1 (right) / step-3 (left)
+      fcorr/gcorr/gicorr/ficorr : int32 [L, NDIG, A] bias corrections (+OFF)
       t_w/t_sh, ti_w/ti_sh : uint32 [L, A, A]  mid twiddles (Shoup pairs)
-      c_w/c_sh : uint32 [L, NDIG]  128^e mod q (Shoup pairs)
-      off      : uint32 [L]        sum_e 128^e * OFF mod q
+      c_w/c_sh : uint32 [L, NDIG]  256^e mod q (Shoup pairs)
+      off      : uint32 [L]        sum_e 256^e * OFF mod q
     """
     logn = n.bit_length() - 1
     assert logn % 2 == 0, "MXU NTT requires even log2(N)"
@@ -122,98 +121,107 @@ def build_tables(n: int, primes: tuple[int, ...],
     L = len(primes)
     br = bit_reverse_perm(A)
     n_idx = np.arange(A, dtype=np.int64)
-    f = np.zeros((L, NDIG * A, NDIG * A), dtype=np.int8)
-    g = np.zeros((L, NDIG * A, NDIG * A), dtype=np.int8)
-    gi = np.zeros((L, NDIG * A, NDIG * A), dtype=np.int8)
-    fi = np.zeros((L, NDIG * A, NDIG * A), dtype=np.int8)
-    t_w = np.zeros((L, A, A), dtype=np.uint32)
-    t_sh = np.zeros((L, A, A), dtype=np.uint32)
-    ti_w = np.zeros((L, A, A), dtype=np.uint32)
-    ti_sh = np.zeros((L, A, A), dtype=np.uint32)
-    c_w = np.zeros((L, NDIG), dtype=np.uint32)
-    c_sh = np.zeros((L, NDIG), dtype=np.uint32)
-    off = np.zeros((L,), dtype=np.uint32)
+    out = dict(
+        f=np.zeros((L, NDIG * A, NDIG * A), dtype=np.int8),
+        g=np.zeros((L, NDIG * A, NDIG * A), dtype=np.int8),
+        gi=np.zeros((L, NDIG * A, NDIG * A), dtype=np.int8),
+        fi=np.zeros((L, NDIG * A, NDIG * A), dtype=np.int8),
+        fcorr=np.zeros((L, NDIG, A), dtype=np.int32),
+        gcorr=np.zeros((L, NDIG, A), dtype=np.int32),
+        gicorr=np.zeros((L, NDIG, A), dtype=np.int32),
+        ficorr=np.zeros((L, NDIG, A), dtype=np.int32),
+        t_w=np.zeros((L, A, A), dtype=np.uint32),
+        t_sh=np.zeros((L, A, A), dtype=np.uint32),
+        ti_w=np.zeros((L, A, A), dtype=np.uint32),
+        ti_sh=np.zeros((L, A, A), dtype=np.uint32),
+        c_w=np.zeros((L, NDIG), dtype=np.uint32),
+        c_sh=np.zeros((L, NDIG), dtype=np.uint32),
+        off=np.zeros((L,), dtype=np.uint32),
+        q=np.asarray(primes, dtype=np.uint32),
+        magic=np.asarray([rns.barrett_magic(q) for q in primes],
+                         dtype=np.uint32))
     for li, (q, psi) in enumerate(zip(primes, psis)):
-        # psi power table over Z_{2N}
         pw = np.ones(two_n, dtype=np.uint64)
         acc = 1
         for j in range(1, two_n):
             acc = acc * psi % q
             pw[j] = acc
         odd = 2 * br + 1                                   # [A]
-        # F1[i_a, n2] = psi^(A*n2*(2 br(i_a)+1))
         F1 = pw[(A * np.outer(odd, n_idx)) % two_n]
-        # T[i_a, n1] = psi^(n1*(2 br(i_a)+1))
         T = pw[np.outer(odd, n_idx) % two_n]
-        # G[n1, i_b] = psi^(2 A n1 br(i_b))
         G = pw[(2 * A * np.outer(n_idx, br)) % two_n]
         ainv = pow(A, -1, q)
-        # inverse: negated exponents, 1/A per matmul stage
         Gi = (pw[(-2 * A * np.outer(br, n_idx)) % two_n] * ainv) % q
         Ti = pw[(-np.outer(odd, n_idx)) % two_n]
         Fi = (pw[(-A * np.outer(n_idx, odd)) % two_n] * ainv) % q
-        f[li] = _const_blocks_left(F1, q)
-        g[li] = _const_blocks_right(G, q)
-        gi[li] = _const_blocks_right(Gi, q)
-        fi[li] = _const_blocks_left(Fi, q)
-        t_w[li] = T.astype(np.uint32)
-        ti_w[li] = Ti.astype(np.uint32)
+        out["f"][li], out["fcorr"][li] = _const_blocks(F1, q, left=True)
+        out["g"][li], out["gcorr"][li] = _const_blocks(G, q, left=False)
+        out["gi"][li], out["gicorr"][li] = _const_blocks(Gi, q, left=False)
+        out["fi"][li], out["ficorr"][li] = _const_blocks(Fi, q, left=True)
+        out["t_w"][li] = T.astype(np.uint32)
+        out["ti_w"][li] = Ti.astype(np.uint32)
         qq = np.uint64(q)
-        t_sh[li] = ((T << np.uint64(32)) // qq).astype(np.uint32)
-        ti_sh[li] = ((Ti << np.uint64(32)) // qq).astype(np.uint32)
+        out["t_sh"][li] = ((T << np.uint64(32)) // qq).astype(np.uint32)
+        out["ti_sh"][li] = ((Ti << np.uint64(32)) // qq).astype(np.uint32)
         for e in range(NDIG):
             ce = pow(RADIX, e, q)
-            c_w[li, e] = ce
-            c_sh[li, e] = rns.shoup_precompute(ce, q)
+            out["c_w"][li, e] = ce
+            out["c_sh"][li, e] = rns.shoup_precompute(ce, q)
         s = sum(pow(RADIX, e, q) for e in range(NDIG))
-        off[li] = (s * int(OFF)) % q
-    return dict(f=f, g=g, gi=gi, fi=fi, t_w=t_w, t_sh=t_sh, ti_w=ti_w,
-                ti_sh=ti_sh, c_w=c_w, c_sh=c_sh, off=off,
-                q=np.asarray(primes, dtype=np.uint32),
-                magic=np.asarray([rns.barrett_magic(q) for q in primes],
-                                 dtype=np.uint32))
+        out["off"][li] = (s * int(OFF)) % q
+    return out
 
 
 # ---------------------------------------------------------------------------
 # Device side
 # ---------------------------------------------------------------------------
 
-def _digits_dev(x):
-    """uint32 [..., R, C] -> int8 [..., NDIG, R, C] balanced digits."""
-    outs = []
-    u = x
-    mask = jnp.uint32(RADIX - 1)
-    for j in range(NDIG - 1):
-        r = u & mask
-        b = (r >= (RADIX // 2)).astype(jnp.uint32)
-        outs.append((r.astype(jnp.int32) - jnp.int32(RADIX) *
-                     b.astype(jnp.int32)).astype(jnp.int8))
-        u = (u >> RADIX_BITS) + b
-    outs.append(u.astype(jnp.int8))
-    return jnp.stack(outs, axis=-3)
+def _byte_digits(x):
+    """uint32 [..., R, C] -> int8 [..., R, C, NDIG]: little-endian bytes with
+    the +128 bias flipped off (b XOR 0x80 reinterpreted as int8 = b - 128).
+    No arithmetic digit loop — one XOR and a bitcast."""
+    b = jax.lax.bitcast_convert_type(x, jnp.uint8)       # [..., R, C, 4]
+    return jax.lax.bitcast_convert_type(b ^ jnp.uint8(0x80), jnp.int8)
 
 
-def _combine(s_parts, mx, q):
-    """int32 partials [..., NDIG, R, C] -> uint32 mod q [..., R, C].
+def _digits_rows(x, lead, L, A):
+    """-> int8 [..., L, NDIG*A, A] (digit-major row stacking)."""
+    d = _byte_digits(x)                                   # [..., L, A, A, 4]
+    d = jnp.moveaxis(d, -1, -3)                           # [..., L, 4, A, A]
+    return d.reshape(lead + (L, NDIG * A, A))
 
-    val = sum_e 128^e * S_e mod q, via m_e = Barrett(S_e + OFF) and a Shoup
-    combine, correcting the OFF bias once at the end."""
+
+def _digits_cols(x, lead, L, A):
+    """-> int8 [..., L, A, NDIG*A] (digit-major column stacking)."""
+    d = _byte_digits(x)                                   # [..., L, A, A, 4]
+    d = jnp.moveaxis(d, -1, -2)                           # [..., L, A, 4, A]
+    return d.reshape(lead + (L, A, NDIG * A))
+
+
+def _combine(s_parts, corr, mx, rowwise: bool):
+    """int32 partials [..., L, NDIG, R, C] -> uint32 mod q [..., L, R, C].
+
+    val = sum_e 256^e * (S_e + corr_e - OFF) mod q: corr (int32 [L, NDIG, A],
+    already + OFF) restores the byte-bias contribution; m_e = Barrett(S_e +
+    corr_e), then a Shoup combine subtracts the OFF bias once at the end."""
     extra = s_parts.ndim - 4                    # dims before (L, NDIG, R, C)
-    def ex(a, tail):                            # [L, ...] -> broadcastable
-        return a.reshape((1,) * extra + a.shape[:1] + tail)
-    magic = ex(mx["magic"], (1, 1))
-    qv = ex(q, (1, 1))
-    shifted = (s_parts + jnp.int32(OFF)).astype(jnp.uint32)
+    L, nd, a = corr.shape
+    corr_b = corr.reshape((1,) * extra + ((L, nd, a, 1) if rowwise
+                                          else (L, nd, 1, a)))
+    magic = mx["magic"].reshape((1,) * extra + (-1, 1, 1))
+    qv = mx["q"].reshape((1,) * extra + (-1, 1, 1))
+    shifted = (s_parts + corr_b).astype(jnp.uint32)
     acc = None
     for e in range(NDIG):
         m_e = rns.barrett_reduce(shifted[..., e, :, :], qv, magic)
         if e == 0:
             acc = m_e
         else:
-            c_w = ex(mx["c_w"][:, e], (1, 1))
-            c_sh = ex(mx["c_sh"][:, e], (1, 1))
+            c_w = mx["c_w"][:, e].reshape((1,) * extra + (-1, 1, 1))
+            c_sh = mx["c_sh"][:, e].reshape((1,) * extra + (-1, 1, 1))
             acc = rns.add_mod(acc, rns.shoup_mul(m_e, c_w, c_sh, qv), qv)
-    return rns.sub_mod(acc, ex(mx["off"], (1, 1)), qv)
+    off = mx["off"].reshape((1,) * extra + (-1, 1, 1))
+    return rns.sub_mod(acc, off, qv)
 
 
 def _einsum_i8(spec, a, b):
@@ -227,21 +235,18 @@ def ntt_fwd_mxu(x, mx):
     L, n = x.shape[-2], x.shape[-1]
     A = int(np.sqrt(n))
     assert A * A == n
-    q = mx["q"]
     lead = x.shape[:-2]
     z = x.reshape(lead + (L, A, A))
-    # digit-major row stacking: row index (d*A + n2) matches f's col blocks
-    zd = _digits_dev(z).reshape(lead + (L, NDIG * A, A))
-    s1 = _einsum_i8("lij,...ljk->...lik", mx["f"], zd)   # [..., L, 5A, A]
+    zd = _digits_rows(z, lead, L, A)
+    s1 = _einsum_i8("lij,...ljk->...lik", mx["f"], zd)   # [..., L, 4A, A]
     s1 = s1.reshape(lead + (L, NDIG, A, A))
-    S = _combine(s1, mx, q)                              # [..., L, A, A]
-    qv = q.reshape((1,) * len(lead) + (L, 1, 1))
+    S = _combine(s1, mx["fcorr"], mx, rowwise=True)
+    qv = mx["q"].reshape((1,) * len(lead) + (L, 1, 1))
     B = rns.shoup_mul(S, mx["t_w"], mx["t_sh"], qv)
-    bd = _digits_dev(B)                                  # [..., L, 5, A, A]
-    bd = jnp.moveaxis(bd, -3, -2).reshape(lead + (L, A, NDIG * A))
-    s2 = _einsum_i8("...lij,ljk->...lik", bd, mx["g"])   # [..., L, A, 5A]
+    bd = _digits_cols(B, lead, L, A)
+    s2 = _einsum_i8("...lij,ljk->...lik", bd, mx["g"])   # [..., L, A, 4A]
     s2 = jnp.moveaxis(s2.reshape(lead + (L, A, NDIG, A)), -2, -3)
-    out = _combine(s2, mx, q)
+    out = _combine(s2, mx["gcorr"], mx, rowwise=False)
     return out.reshape(lead + (L, n))
 
 
@@ -250,20 +255,18 @@ def ntt_inv_mxu(x, mx):
     L, n = x.shape[-2], x.shape[-1]
     A = int(np.sqrt(n))
     assert A * A == n
-    q = mx["q"]
     lead = x.shape[:-2]
     out_m = x.reshape(lead + (L, A, A))
-    od = _digits_dev(out_m)
-    od = jnp.moveaxis(od, -3, -2).reshape(lead + (L, A, NDIG * A))
+    od = _digits_cols(out_m, lead, L, A)
     s1 = _einsum_i8("...lij,ljk->...lik", od, mx["gi"])
     s1 = jnp.moveaxis(s1.reshape(lead + (L, A, NDIG, A)), -2, -3)
-    B = _combine(s1, mx, q)
-    qv = q.reshape((1,) * len(lead) + (L, 1, 1))
+    B = _combine(s1, mx["gicorr"], mx, rowwise=False)
+    qv = mx["q"].reshape((1,) * len(lead) + (L, 1, 1))
     S = rns.shoup_mul(B, mx["ti_w"], mx["ti_sh"], qv)
-    sd = _digits_dev(S).reshape(lead + (L, NDIG * A, A))
+    sd = _digits_rows(S, lead, L, A)
     s2 = _einsum_i8("lij,...ljk->...lik", mx["fi"], sd)
     s2 = s2.reshape(lead + (L, NDIG, A, A))
-    z = _combine(s2, mx, q)
+    z = _combine(s2, mx["ficorr"], mx, rowwise=True)
     return z.reshape(lead + (L, n))
 
 
