@@ -17,14 +17,23 @@ scratch:
                squarings (sin(t) = cos(t - pi/2))
   SlotToCoeff  forward embedding back to coefficient placement
 
-Current scope: single-prime-rescale profiles (scale <= 2^29) and dense-BSGS
-linear transforms, practical for N <= 2^13 (the factored FFT-style transform
-for N=2^16 is the planned follow-up; SURVEY.md section 7 ranks bootstrap the
-#1 hard part).
+Linear transforms come in two flavors:
+  - dense BSGS over closed-form diagonals (quadratic in slot count; fine to
+    N <= 2^13, kept as the reference/fallback), and
+  - FACTORED FFT-stage transforms (default): the decode matrix E[j,k] =
+    psi_C^(e_j*k) factors by decimation-in-time over the 5^j evaluation
+    orbit into log2(sc) two-diagonal butterfly stages, E = S_1...S_L * BR.
+    The trailing bit-reversal BR cancels between CoeffToSlot and SlotToCoeff
+    because EvalMod is slot-wise, so neither is ever applied.  Stages merge
+    into radix-2^r groups (<= 2^(r+1)-1 rotation-diagonals, all multiples of
+    one power-of-two granularity) evaluated with hoisted-BSGS; the CTS
+    groups are exactly the conjugate transposes of the STC groups.  Both
+    coefficient halves ride ONE chain as c_k + i*c_{k+sc} (m_a = y + conj y,
+    m_b = -i*(y - conj y)), halving the linear work vs the 4-map dense form.
 """
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 from typing import Any, Dict, List
 
 import numpy as np
@@ -44,6 +53,10 @@ class BootstrapKey:
     K: float = 0.0            # EvalMod input range |t| <= K
     cheb_deg: int = 31
     double_angles: int = 2    # each doubling amplifies noise ~4x, keep low
+    factored: bool = True
+    # factored-transform plans: list of per-group dicts (see _group_plan)
+    stc_plan: list = field(default_factory=list)
+    cts_plan: list = field(default_factory=list)
 
 
 def _bsgs_split(n_slots: int) -> tuple[int, int]:
@@ -53,17 +66,158 @@ def _bsgs_split(n_slots: int) -> tuple[int, int]:
     return b, n_slots // b
 
 
-def create_bootstrap_key(engine, sk, small: bool = False) -> BootstrapKey:
+# ---------------------------------------------------------------------------
+# Factored FFT-stage machinery (host-side numpy; diagonal-dict matrices)
+#
+# A linear map M on C^sc is stored as {delta: u} meaning
+#   (M x)[k] = sum_delta u[k] * x[(k + delta) mod sc],
+# i.e. u is the rotation-diagonal at column offset delta; homomorphically
+# each term is multiply_plain(rotate(ct, -delta), u).
+# ---------------------------------------------------------------------------
+
+def _fft_stages(params) -> list[dict]:
+    """Butterfly stages of the decode map: E = S_1 * S_2 * ... * S_L * BR.
+
+    Stage s has 2^(s-1) identical blocks of size t = sc/2^(s-1); block rows
+    (i < h | i >= h), h = t/2, combine as u[i] +- tw[i]*u[i+h] with
+    tw[j] = psi_C^(2^(s-1) * 5^j mod 2N) (decimation-in-time over the 5^j
+    orbit; the 5^(sc/2) = 1+N identity makes the paired evaluation points
+    negatives of each other, standard special-FFT structure)."""
+    sc = params.slot_count
+    n = params.n
+    two_n = 2 * n
+    L = sc.bit_length() - 1
+    stages = []
+    k = np.arange(sc)
+    for s in range(1, L + 1):
+        t = sc >> (s - 1)
+        h = t >> 1
+        j = np.arange(h, dtype=np.int64)
+        e = np.ones(h, dtype=np.int64)
+        acc = 1
+        for jj in range(h):
+            e[jj] = acc
+            acc = acc * 5 % two_n
+        tw = np.exp(1j * np.pi * (((1 << (s - 1)) * e) % two_n) / n)
+        i = k % t
+        u0 = np.where(i < h, 1.0 + 0j, -tw[(i - h) % h])
+        up = np.where(i < h, tw[i % h], 0j)          # (k, k+h)
+        um = np.where(i >= h, 1.0 + 0j, 0j)          # (k, k-h)
+        st: Dict[int, np.ndarray] = {0: u0}
+        for d, u in ((h % sc, up), ((-h) % sc, um)):
+            # stage 1 has h = sc/2 where +h and -h coincide mod sc: accumulate
+            st[d] = st[d] + u if d in st else u
+        stages.append(st)
+    return stages
+
+
+def _diag_mul(A: dict, B: dict, sc: int) -> dict:
+    """Compose A*B (apply B first) in rotation-diagonal form."""
+    out: Dict[int, np.ndarray] = {}
+    for a, ua in A.items():
+        for b, vb in B.items():
+            d = (a + b) % sc
+            term = ua * np.roll(vb, -a)
+            if d in out:
+                out[d] = out[d] + term
+            else:
+                out[d] = term.copy()
+    return {d: u for d, u in out.items() if np.max(np.abs(u)) > 1e-14}
+
+
+def _diag_transpose_conj(A: dict, sc: int) -> dict:
+    """conj(A)^T: entry (k, k+d) -> (k+d, k): offset -d, value rolled by d."""
+    return {(-d) % sc: np.roll(np.conj(u), d) for d, u in A.items()}
+
+
+def _diag_apply_host(A: dict, x: np.ndarray) -> np.ndarray:
+    out = np.zeros_like(x, dtype=np.complex128)
+    for d, u in A.items():
+        out += u * np.roll(x, -d)
+    return out
+
+
+def _group_sizes(L: int, r: int = 5) -> list[int]:
+    m = -(-L // r)
+    base = L // m
+    rem = L % m
+    return [base + (1 if i < rem else 0) for i in range(m)]
+
+
+def _group_plan(mat: dict, sc: int) -> dict:
+    """BSGS plan for one grouped diagonal matrix: all offsets are multiples
+    of a power-of-two granularity g; delta = g*(beta + B*gamma)."""
+    offs = sorted(mat.keys())
+    nz = [d for d in offs if d != 0]
+    g = 0
+    for d in nz:
+        g = np.gcd(g, d)
+    g = int(g) if g else 1
+    count = len(offs)
+    B = 1
+    while B * B < count:
+        B *= 2
+    entries = []
+    baby_steps = set()
+    giant_steps = set()
+    for d, u in mat.items():
+        m = d // g
+        # signed giant split: beta in [0,B), gamma = round toward -inf
+        beta = m % B
+        gamma = (m - beta) // B
+        # offsets near sc wrap: prefer the signed representative
+        m_signed = m if m <= (sc // g) // 2 else m - sc // g
+        beta_s = m_signed % B
+        gamma_s = (m_signed - beta_s) // B
+        if abs(gamma_s) < abs(gamma):
+            beta, gamma = beta_s, gamma_s
+        entries.append(dict(delta=d, u=u, beta=int(beta), gamma=int(gamma)))
+        baby_steps.add(-g * int(beta))
+        giant_steps.add(-g * B * int(gamma))
+    return dict(g=g, B=B, entries=entries,
+                baby_steps=sorted(baby_steps), giant_steps=sorted(giant_steps))
+
+
+def build_factored_plans(params, radix: int = 5):
+    """(stc_plan, cts_plan): per-group BSGS plans, STC applied last-group-
+    first; CTS groups are conjugate transposes applied in reverse order with
+    1/n distributed evenly."""
+    sc = params.slot_count
+    stages = _fft_stages(params)
+    L = len(stages)
+    sizes = _group_sizes(L, radix)
+    groups = []
+    idx = 0
+    for sz in sizes:
+        G = stages[idx]
+        for s in range(idx + 1, idx + sz):
+            G = _diag_mul(G, stages[s], sc)
+        groups.append(G)
+        idx += sz
+    # STC: E~ = G_0 G_1 ... G_{m-1}; application order reversed
+    stc_groups = list(reversed(groups))
+    # CTS: F~ = (1/n) conjT(G_{m-1}) ... conjT(G_0); applied conjT(G_0) first
+    m = len(groups)
+    scale = (1.0 / params.n) ** (1.0 / m)
+    cts_groups = []
+    for G in groups:
+        Gt = _diag_transpose_conj(G, sc)
+        cts_groups.append({d: u * scale for d, u in Gt.items()})
+    stc_plan = [_group_plan(G, sc) for G in stc_groups]
+    cts_plan = [_group_plan(G, sc) for G in cts_groups]
+    return stc_plan, cts_plan
+
+
+def create_bootstrap_key(engine, sk, small: bool = False,
+                         factored: bool | None = None) -> BootstrapKey:
     params = engine.params
     if params.rescale_primes != 1:
         # byte-domain hp profiles bootstrap via the nibble pipeline instead
         raise NotImplementedError(
             "bootstrap currently targets single-prime-rescale profiles")
     sc = params.slot_count
-    baby, giant = _bsgs_split(sc)
-    steps = set(range(1, baby))
-    steps |= {g * baby for g in range(1, giant)}
-    rot = gen_rotation_keys(params, engine.tabs, sk, sorted(steps))
+    if factored is None:
+        factored = sc >= 8
     h = params.secret_hamming or params.n // 2
     # |I| concentrates around sqrt(h)/2; 1.5*sqrt(h)+4 leaves ~5+ sigma
     K = 1.5 * np.sqrt(h) + 4
@@ -72,8 +226,23 @@ def create_bootstrap_key(engine, sk, small: bool = False) -> BootstrapKey:
     da = 3 if small else 2
     theta_max = (2 * np.pi * K + np.pi / 2) / (2 ** da)
     deg = int(1.3 * theta_max) + 24
+    if factored:
+        stc_plan, cts_plan = build_factored_plans(params)
+        steps = set()
+        for plan in stc_plan + cts_plan:
+            steps |= {s % sc for s in plan["baby_steps"]}
+            steps |= {s % sc for s in plan["giant_steps"]}
+        steps.discard(0)
+        rot = gen_rotation_keys(params, engine.tabs, sk, sorted(steps))
+        return BootstrapKey(small=small, rot=rot, K=K, cheb_deg=deg,
+                            double_angles=da, factored=True,
+                            stc_plan=stc_plan, cts_plan=cts_plan)
+    baby, giant = _bsgs_split(sc)
+    steps = set(range(1, baby))
+    steps |= {g * baby for g in range(1, giant)}
+    rot = gen_rotation_keys(params, engine.tabs, sk, sorted(steps))
     return BootstrapKey(small=small, rot=rot, baby=baby, giant=giant, K=K,
-                        cheb_deg=deg, double_angles=da)
+                        cheb_deg=deg, double_angles=da, factored=False)
 
 
 # ---------------------------------------------------------------------------
@@ -134,6 +303,52 @@ def _apply_linear_map(engine, ct: Ciphertext, diag_fn, tag: str,
     return out
 
 
+def _apply_group(engine, ct: Ciphertext, plan: dict, tag: str,
+                 bk: BootstrapKey, scalar: complex = 1.0) -> Ciphertext:
+    """Apply one grouped FFT-stage matrix (optionally scaled) with
+    hoisted-BSGS.
+
+    plan entries carry delta = g*(beta + B*gamma); babies rot(ct, -g*beta)
+    share one key-switch decomposition, giants rotate the per-gamma inner
+    sums with pre-rolled diagonals.  `scalar` multiplies every diagonal
+    (used to fold the -i of the CTS half-split into the last group for
+    free instead of spending a level on a scalar multiply)."""
+    params = engine.params
+    sc = params.slot_count
+    g, B = plan["g"], plan["B"]
+    baby_steps = plan["baby_steps"]
+    babies = engine.hoisted_rotations(ct, bk.rot, baby_steps)
+    baby_map = dict(zip(baby_steps, babies))
+    by_gamma: Dict[int, list] = {}
+    for ent in plan["entries"]:
+        by_gamma.setdefault(ent["gamma"], []).append(ent)
+    out = None
+    for gamma, ents in sorted(by_gamma.items()):
+        shift = g * B * gamma
+        acc = None
+        for ent in ents:
+            b_ct = baby_map[-g * ent["beta"]]
+            key = (tag, ent["delta"], b_ct.level)
+            pt = _diag_cache.store.get(key)
+            if pt is None:
+                pt = engine.encode(np.roll(ent["u"] * scalar, shift),
+                                   level=b_ct.level)
+                _diag_cache.store[key] = pt
+            term = engine.multiply_plain(b_ct, pt)
+            acc = term if acc is None else engine.add(acc, term)
+        if shift % sc:
+            acc = engine.rotate(acc, bk.rot, (-shift) % sc)
+        out = acc if out is None else engine.add(out, acc)
+    return out
+
+
+def _apply_chain(engine, ct: Ciphertext, plans: list, tag: str,
+                 bk: BootstrapKey) -> Ciphertext:
+    for i, plan in enumerate(plans):
+        ct = _apply_group(engine, ct, plan, f"{tag}{i}", bk)
+    return ct
+
+
 def _cts_diag(params, half: int):
     """CoeffToSlot diagonals: F[k, j] = psi_C^(-e_j * (k + offset)) / N,
     out_k = 2*Re((F z)_k) -> handled by caller with conj; the 2/N is folded
@@ -192,7 +407,11 @@ def _chebyshev_coeffs(f, deg: int) -> np.ndarray:
 
 def _cheb_basis(engine, u: Ciphertext, deg: int, rlk) -> List[Ciphertext]:
     """[T_1(u), ..., T_deg(u)] with binary-depth products:
-    T_{2k} = 2 T_k^2 - 1; T_{2k+1} = 2 T_k T_{k+1} - T_1."""
+    T_{2k} = 2 T_k^2 - 1; T_{2k+1} = 2 T_k T_{k+1} - T_1.
+
+    Dense basis -- superseded by _cheb_eval_ps for EvalMod (the sequential
+    odd recurrence wastes both multiplies and scale-alignment levels); kept
+    for tests and small degrees."""
     T: Dict[int, Ciphertext] = {1: u}
     for m in range(2, deg + 1):
         if m % 2 == 0:
@@ -206,6 +425,96 @@ def _cheb_basis(engine, u: Ciphertext, deg: int, rlk) -> List[Ciphertext]:
             t = engine.add(t, t)
             T[m] = engine.sub(t, T[1])
     return [T[m] for m in range(1, deg + 1)]
+
+
+def _cheb_eval_ps(engine, coeffs: np.ndarray, u: Ciphertext, rlk,
+                  baby: int = 8) -> Ciphertext:
+    """Paterson-Stockmeyer/BSGS evaluation of sum_i coeffs[i] * T_i(u).
+
+    Materializes babies T_1..T_{baby-1} and power-of-two giants
+    T_{2^j} (baby <= 2^j <= deg), then splits recursively with
+    T_{m+j} = 2 T_j T_m - T_{m-j}:  p = low + T_m * (2*q), deg(q) < m.
+    ~2*sqrt(deg) multiplies at depth ~log2(deg)+1, replacing the reference-
+    style dense power basis (255 sequential mults for the S-box,
+    /root/reference/sbox/sbox_service.py:93; SURVEY.md section 7 item 6)."""
+    deg = len(coeffs) - 1
+    while deg > 0 and abs(coeffs[deg]) < 1e-14:
+        deg -= 1
+    T: Dict[int, Ciphertext] = {1: u}
+    for m in range(2, baby):
+        k = m // 2
+        if m % 2 == 0:
+            t = engine.multiply(T[k], T[k], rlk)
+            t = engine.add(t, t)
+            T[m] = engine.add_plain(t, -1.0)
+        else:
+            t = engine.multiply(T[k], T[k + 1], rlk)
+            t = engine.add(t, t)
+            T[m] = engine.sub(t, T[1])
+    m = baby
+    # giants by repeated doubling (baby must be a power of two)
+    g = 1
+    while g < baby:
+        g *= 2
+        if g not in T:
+            k = g // 2
+            t = engine.multiply(T[k], T[k], rlk)
+            t = engine.add(t, t)
+            T[g] = engine.add_plain(t, -1.0)
+    while g * 2 <= deg:
+        g *= 2
+        k = g // 2
+        t = engine.multiply(T[k], T[k], rlk)
+        t = engine.add(t, t)
+        T[g] = engine.add_plain(t, -1.0)
+
+    def rec(c: Dict[int, float]):
+        """-> (ciphertext | None, constant): value = ct + constant."""
+        nz = {k: v for k, v in c.items() if abs(v) > 1e-14}
+        const = nz.pop(0, 0.0)
+        direct = {k: v for k, v in nz.items() if k in T}
+        rest = {k: v for k, v in nz.items() if k not in T}
+        parts = []
+        if direct:
+            ks = sorted(direct)
+            parts.append(engine.linear_combination(
+                [T[k] for k in ks], [direct[k] for k in ks]))
+        if rest:
+            # every power of two <= deg is materialized, so d is not a power
+            # of two, mm < d strictly, and rest has no T_mm coefficient
+            d = max(rest)
+            mm = 1
+            while mm * 2 <= d:
+                mm *= 2
+            q = {j: 2.0 * rest.get(mm + j, 0.0)
+                 for j in range(1, d - mm + 1)}
+            low: Dict[int, float] = {}
+            for i, v in rest.items():
+                if i < mm:
+                    low[i] = low.get(i, 0.0) + v
+            for j in range(1, d - mm + 1):
+                low[mm - j] = low.get(mm - j, 0.0) - rest.get(mm + j, 0.0)
+            q_ct, q_k = rec(q)
+            if q_ct is not None:
+                parts.append(engine.multiply(T[mm], q_ct, rlk))
+            if abs(q_k) > 1e-14:
+                parts.append(engine.multiply(T[mm], q_k))
+            lo_ct, lo_k = rec(low)
+            const += lo_k
+            if lo_ct is not None:
+                parts.append(lo_ct)
+        if not parts:
+            return None, const
+        acc = parts[0]
+        for p in parts[1:]:
+            acc = engine.add(acc, p)
+        return acc, const
+
+    c0 = {i: float(coeffs[i]) for i in range(deg + 1)}
+    out_ct, out_k = rec(c0)
+    if abs(out_k) > 1e-14:
+        out_ct = engine.add_plain(out_ct, out_k)
+    return out_ct
 
 
 def eval_mod_scales(bk: BootstrapKey, q0: int, delta: float):
@@ -222,7 +531,8 @@ def eval_mod_scales(bk: BootstrapKey, q0: int, delta: float):
 
 
 def _eval_mod(engine, u_raw: Ciphertext, bk: BootstrapKey, rlk,
-              q0: int, delta: float) -> Ciphertext:
+              q0: int, delta: float,
+              final_mult: complex = 1.0) -> Ciphertext:
     """input slots u_raw = x*a_scale (pre-scaled coefficients); returns
     slots ~ m/Delta via Chebyshev cos + double angles + arcsine cubic."""
     params = engine.params
@@ -231,11 +541,7 @@ def _eval_mod(engine, u_raw: Ciphertext, bk: BootstrapKey, rlk,
     _, b_shift, theta_max = eval_mod_scales(bk, q0, delta)
     u = engine.add_plain(u_raw, b_shift)
     coeffs = _chebyshev_coeffs(lambda v: np.cos(theta_max * v), bk.cheb_deg)
-    basis = _cheb_basis(engine, u, bk.cheb_deg, rlk)
-    ks = [m for m in range(1, bk.cheb_deg + 1) if abs(coeffs[m]) > 1e-14]
-    y = engine.linear_combination([basis[m - 1] for m in ks],
-                                  [coeffs[m] for m in ks],
-                                  constant=coeffs[0])
+    y = _cheb_eval_ps(engine, coeffs, u, rlk)
     for _ in range(r):
         y2 = engine.multiply(y, y, rlk)
         y2 = engine.add(y2, y2)
@@ -244,8 +550,13 @@ def _eval_mod(engine, u_raw: Ciphertext, bk: BootstrapKey, rlk,
     # cubic arcsine correction y + y^3/6 removes the (2 pi m/q0)^3/6 bias
     y2 = engine.multiply(y, y, rlk)
     y3 = engine.multiply(y2, y, rlk)
-    corr = engine.add(y, engine.multiply(y3, 1.0 / 6.0))
-    return engine.multiply(corr, q0 / (2 * np.pi * delta))
+    # renormalizing scalar multiplies: the squaring chain drifts the tracked
+    # scale (s -> s^2/q), and an add would drag the sum down to the worst
+    # operand's scale; both needed scalar multiplies re-target the scale
+    corr = engine.add(y, engine.multiply_renorm(y3, 1.0 / 6.0,
+                                                target_scale=y.scale))
+    return engine.multiply_renorm(corr,
+                                  final_mult * q0 / (2 * np.pi * delta))
 
 
 # ---------------------------------------------------------------------------
@@ -269,7 +580,25 @@ def bootstrap(engine, ct: Ciphertext, relin_key, conj_key,
     # pre-normalize so CoeffToSlot operates on O(1) values (see eval_mod_scales)
     a_scale, _, _ = eval_mod_scales(bootstrap_key, q0, ct.scale)
     raised = engine.multiply(raised, a_scale)
-    # CoeffToSlot: two maps, then 2*Re via conjugation
+    if bootstrap_key.factored:
+        # single CTS chain: slot k of y holds (c_br(k) + i*c_br(k)+sc)/(...)
+        yp = _apply_chain(engine, raised, bootstrap_key.cts_plan[:-1],
+                          "fcts", bootstrap_key)
+        last = bootstrap_key.cts_plan[-1]
+        y_a = _apply_group(engine, yp, last, "fctsA", bootstrap_key)
+        # -i folded into the last group's diagonals: no extra level
+        y_b = _apply_group(engine, yp, last, "fctsB", bootstrap_key,
+                           scalar=-1j)
+        ct_a = engine.add(y_a, engine.conjugate(y_a, conj_key))
+        ct_b = engine.add(y_b, engine.conjugate(y_b, conj_key))
+        m_a = _eval_mod(engine, ct_a, bootstrap_key, relin_key, q0, ct.scale)
+        # fold the *i of the half-recombine into EvalMod's final constant
+        m_b = _eval_mod(engine, ct_b, bootstrap_key, relin_key, q0, ct.scale,
+                        final_mult=1j)
+        v = engine.add(m_a, m_b)
+        return _apply_chain(engine, v, bootstrap_key.stc_plan, "fstc",
+                            bootstrap_key)
+    # dense fallback: two maps per direction over closed-form diagonals
     f_a, f_b = _cts_diag(params, half)
     w_a = _apply_linear_map(engine, raised, f_a, "cts_a", bootstrap_key)
     w_b = _apply_linear_map(engine, raised, f_b, "cts_b", bootstrap_key)

@@ -413,6 +413,22 @@ class Engine:
     def multiply_plain(self, ct: Ciphertext, val) -> Ciphertext:
         return self._mul_ct_pt(ct, val)
 
+    def multiply_renorm(self, ct: Ciphertext, value: complex,
+                        target_scale: float | None = None) -> Ciphertext:
+        """Scalar multiply whose encode scale is chosen so the rescaled
+        result lands exactly on target_scale (default Delta).
+
+        Deep squaring chains (EvalMod double angles, power ladders) drift the
+        tracked scale multiplicatively (s -> s^2/q per level); attaching the
+        renormalization to an already-needed scalar multiply resets the drift
+        without spending an extra level."""
+        target = self.params.scale if target_scale is None else target_scale
+        qd = 1.0
+        for i in range(self.params.rescale_primes):
+            qd *= float(self.params.q_primes[ct.level - i])
+        enc_scale = target * qd / ct.scale
+        return self._mul_scalar(ct, complex(value), enc_scale)
+
     def relinearize(self, ct: Ciphertext, relin_key: SwitchKey) -> Ciphertext:
         if ct.degree != 2:
             # message parity with desilofhe so EngineWrapper.relinearize's

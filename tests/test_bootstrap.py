@@ -15,7 +15,7 @@ from aesfhe_tpu.ops.zeta import ZetaEncoder
 
 @pytest.fixture(scope="module")
 def boot():
-    eng = Engine(CKKSParams(n=1 << 9, max_level=22, scale_bits=25,
+    eng = Engine(CKKSParams(n=1 << 9, max_level=30, scale_bits=25,
                             first_prime_bits=28, num_special_primes=4,
                             secret_hamming=16), use_bootstrap=True)
     sk = eng.create_secret_key()
@@ -55,3 +55,38 @@ def test_bootstrap_then_compute(boot):
     sq = eng.multiply(out, out, boot["rlk"])
     dec = eng.decrypt(sq, boot["sk"])
     assert np.max(np.abs(dec - z * z)) < 0.4
+
+
+def test_factored_plans_match_dense():
+    """Factored FFT-stage plans reproduce the dense decode/encode matrices
+    exactly (host-side linear algebra; no FHE)."""
+    from aesfhe_tpu import bootstrap as bs
+    from aesfhe_tpu.core.ntt import bit_reverse_perm
+    p = CKKSParams(n=1 << 9, max_level=4, scale_bits=25, first_prime_bits=28,
+                   num_special_primes=3, secret_hamming=16)
+    sc, n, two_n = p.slot_count, p.n, 2 * p.n
+    E = np.exp(1j * np.pi * (np.outer(p.slot_exp, np.arange(sc)) % two_n) / n)
+    br = bit_reverse_perm(sc)
+    stc_plan, cts_plan = bs.build_factored_plans(p)
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal(sc) + 1j * rng.standard_normal(sc)
+
+    def apply_plan(plan, v):
+        out = np.zeros_like(v)
+        for ent in plan["entries"]:
+            out += ent["u"] * np.roll(v, -ent["delta"])
+        return out
+
+    y = x.copy()
+    for plan in stc_plan:
+        y = apply_plan(plan, y)
+    assert np.allclose(y, E[:, br] @ x), "STC chain != E*BR"
+    y2 = x.copy()
+    for plan in cts_plan:
+        y2 = apply_plan(plan, y2)
+    assert np.allclose(y2, np.conj(E[:, br]).T @ x / n), "CTS chain != F"
+    # BSGS offset decomposition is consistent and granular
+    for pl in stc_plan + cts_plan:
+        for ent in pl["entries"]:
+            assert (pl["g"] * (ent["beta"] + pl["B"] * ent["gamma"])) % sc \
+                == ent["delta"] % sc
