@@ -223,7 +223,9 @@ def create_bootstrap_key(engine, sk, small: bool = False,
     K = 1.5 * np.sqrt(h) + 4
     # Noise through the double-angle chain grows ~4^r, so keep r small and
     # pay with Chebyshev degree instead ("small" trades accuracy for cost).
-    da = 3 if small else 2
+    # Empirical scan (n=2^9, h=16): (scale 2^27, q0 2^30, da=1) -> err 0.012
+    # vs 0.05+ for da=2 or scale 2^26.
+    da = 2 if small else 1
     theta_max = (2 * np.pi * K + np.pi / 2) / (2 ** da)
     deg = int(1.3 * theta_max) + 24
     if factored:
@@ -287,7 +289,7 @@ def _apply_linear_map(engine, ct: Ciphertext, diag_fn, tag: str,
         acc = None
         for b in range(B):
             d = g * B + b
-            key = (tag, d, babies[b].level)
+            key = (id(params), tag, d, babies[b].level)
             pt = _diag_cache.store.get(key)
             if pt is None:
                 diag = diag_fn(d)
@@ -328,7 +330,7 @@ def _apply_group(engine, ct: Ciphertext, plan: dict, tag: str,
         acc = None
         for ent in ents:
             b_ct = baby_map[-g * ent["beta"]]
-            key = (tag, ent["delta"], b_ct.level)
+            key = (id(params), tag, ent["delta"], b_ct.level)
             pt = _diag_cache.store.get(key)
             if pt is None:
                 pt = engine.encode(np.roll(ent["u"] * scalar, shift),

@@ -230,6 +230,16 @@ _PROFILES = dict(
     # degree-255 LUT services (GF/S-box/256x256-XOR)
     hp=dict(n=1 << 12, max_level=14, scale_bits=52, num_special_primes=3),
     prod=dict(n=1 << 16, max_level=35, scale_bits=27, num_special_primes=6),
+    # boot_tiny: small insecure ring with bootstrap-capable chain (sparse
+    # secret, q0 >> Delta for EvalMod's sine range) -- CI-scale refresh tests
+    boot_tiny=dict(n=1 << 9, max_level=48, scale_bits=27,
+                   first_prime_bits=30, num_special_primes=4,
+                   secret_hamming=16),
+    # prod_boot: full-size bootstrappable chain; logQP = 30 + 54*27 + 8*30
+    # = 1728 < 1763 (128-bit secure at N=2^16); 8 specials keep dnum=7 so
+    # the ~40 factored-bootstrap rotation keys fit single-chip HBM
+    prod_boot=dict(n=1 << 16, max_level=54, scale_bits=27,
+                   num_special_primes=8, secret_hamming=192),
     # prod_hp: full-size high-precision ring, ~128-bit secure
     # (logQP = 60 + 48*26 + 6*30 = 1488 < 1792 for N=2^16)
     prod_hp=dict(n=1 << 16, max_level=24, scale_bits=52,

@@ -128,15 +128,18 @@ class AESFHE128:
     def _refresh(self, pair: NibblePair, need: int) -> NibblePair:
         """Bootstrap both nibbles if fewer than `need` depth units remain.
         `refresh` is any Ciphertext->Ciphertext rejuvenator -- engine
-        bootstrap via EngineWrapper.bootstrap, or a recrypt oracle in tests."""
+        bootstrap via EngineWrapper.bootstrap, or a recrypt oracle in tests.
+        A root-of-unity cleanse follows each real bootstrap: EvalMod noise
+        (~1e-2 on zeta16 phases) would otherwise be amplified past the
+        decode margin by the next LUT's power basis."""
         if self.refresh is None:
             return pair
         r = self.eng.engine.params.rescale_primes
         hi, lo = pair.hi, pair.lo
         if hi.level < need * r + 2:
-            hi = self.refresh(hi)
+            hi = self.xor.cleanse(self.refresh(hi))
         if lo.level < need * r + 2:
-            lo = self.refresh(lo)
+            lo = self.xor.cleanse(self.refresh(lo))
         return NibblePair(hi, lo)
 
     # ------------------------------------------------------------------

@@ -15,8 +15,8 @@ from aesfhe_tpu.ops.zeta import ZetaEncoder
 
 @pytest.fixture(scope="module")
 def boot():
-    eng = Engine(CKKSParams(n=1 << 9, max_level=30, scale_bits=25,
-                            first_prime_bits=28, num_special_primes=4,
+    eng = Engine(CKKSParams(n=1 << 9, max_level=34, scale_bits=27,
+                            first_prime_bits=30, num_special_primes=4,
                             secret_hamming=16), use_bootstrap=True)
     sk = eng.create_secret_key()
     pk = eng.create_public_key(sk)

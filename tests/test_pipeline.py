@@ -46,3 +46,52 @@ def test_pack_blocks_roundtrip(cipher):
     assert nblocks == 4   # 48 bytes + 16 bytes PKCS#7 pad
     assert bytes(flat[:48]) == data
     assert flat[48:64].tolist() == [16] * 16
+
+
+@pytest.fixture(scope="module")
+def boot_cipher():
+    """Bootstrap-capable cipher: refresh = engine bootstrap between rounds
+    (the reference's level<8 trigger generalized; it could never run more
+    than AddRoundKey, /root/reference/new.py:186-227)."""
+    from aesfhe_tpu.ops.xor_service import XORConfig
+    cfg = XORConfig(profile="boot_tiny", use_bootstrap=True)
+    wrap = EngineWrapper(cfg)
+    xor_svc = XORService(wrap)
+    tf = AESFHETransformer(wrap, xor_svc)
+    sr = AESFHEShiftRows(wrap, xor_svc)
+    key = bytes.fromhex("000102030405060708090a0b0c0d0e0f")
+    aes = AESFHE128(wrap, xor_svc, tf, sr, key, refresh=wrap.bootstrap)
+    return aes, wrap
+
+
+@pytest.mark.big
+def test_three_rounds_with_bootstrap(boot_cipher):
+    """3 AES rounds crossing at least one bootstrap refresh, vs the oracle."""
+    aes, wrap = boot_cipher
+    sc = wrap.engine.slot_count
+    rng = np.random.default_rng(7)
+    state = rng.integers(0, 256, sc, dtype=np.uint8)
+    pair = aes.encrypt_state(state)
+    out_pair = aes.encrypt_rounds(pair, rounds=3)
+    got = aes.decrypt_state(out_pair)
+    key = bytes.fromhex("000102030405060708090a0b0c0d0e0f")
+    want = np.concatenate([
+        aes128_partial(state[b:b + 16], key, rounds=3)
+        for b in range(0, sc, 16)])
+    assert np.array_equal(got, want)
+
+
+@pytest.mark.big
+def test_full_aes128_fips197(boot_cipher):
+    """All 10 rounds: FIPS-197 appendix C.1 known-answer vector, SIMD-tiled
+    across every block slot."""
+    aes, wrap = boot_cipher
+    sc = wrap.engine.slot_count
+    pt = bytes.fromhex("00112233445566778899aabbccddeeff")
+    want_ct = bytes.fromhex("69c4e0d86a7b0430d8cdb78070b4c55a")
+    state = np.tile(np.frombuffer(pt, dtype=np.uint8), sc // 16)
+    pair = aes.encrypt_state(state)
+    out_pair = aes.encrypt_rounds(pair, rounds=10)
+    got = aes.decrypt_state(out_pair)
+    want = np.tile(np.frombuffer(want_ct, dtype=np.uint8), sc // 16)
+    assert np.array_equal(got, want)
