@@ -575,7 +575,26 @@ class Engine:
         round-trips (/root/reference/sbox/sbox_service.py:96-114,
         xor_service.py:283-286); here all scalar products fuse into a single
         XLA kernel and the rescale (level cost) is paid once.
+
+        Coefficients may be complex scalars, Plaintext objects (per-slot
+        vector coefficients at scale Delta, e.g. key-dependent LUT weights),
+        or raw numpy vectors (encoded on the fly).  Mixing is allowed; the
+        dense and scalar groups fuse into one kernel each and one rescale
+        total.
         """
+        dense_pairs = []
+        scalar_list = []
+        for ct, c in zip(cts, coeffs):
+            if isinstance(c, Plaintext):
+                dense_pairs.append((ct, c))
+            elif isinstance(c, np.ndarray) and c.ndim > 0:
+                dense_pairs.append(
+                    (ct, self.encode(c, level=ct.level)))
+            else:
+                scalar_list.append((ct, complex(c)))
+        if dense_pairs:
+            return self._linear_combination_mixed(dense_pairs, scalar_list,
+                                                  constant)
         pairs = [(ct, complex(c)) for ct, c in zip(cts, coeffs) if c != 0]
         if not pairs:
             z = self._mul_scalar(cts[0], 0.0, self.params.scale)
@@ -624,6 +643,57 @@ class Engine:
         out = Ciphertext(data, base_scale * self.params.scale)
         if constant != 0:
             out = self._add_scalar(out, complex(constant) , out.scale)
+        return self._rescale(out)
+
+    def _linear_combination_mixed(self, dense_pairs, scalar_pairs,
+                                  constant) -> Ciphertext:
+        """linear_combination with per-slot (Plaintext) coefficients, plus an
+        optional scalar-coefficient group; one fused kernel each, ONE rescale
+        total.  Dense plaintexts must be at scale Delta (they are multiplier
+        weights, same convention as the scalar path)."""
+        all_cts = [p[0] for p in dense_pairs] + [p[0] for p in scalar_pairs]
+        lvl = min(ct.level for ct in all_cts)
+        lvl = min(lvl, min(p[1].level for p in dense_pairs))
+        self._check_levels(lvl)
+        base_scale = all_cts[0].scale
+        for ct in all_cts:
+            if abs(ct.scale - base_scale) / base_scale > _SCALE_TOL:
+                raise ValueError("linear_combination input scales differ")
+        target = self.params.scale
+        for _, pt in dense_pairs:
+            if abs(pt.scale - target) / target > _SCALE_TOL:
+                raise ValueError("dense coefficient plaintexts must be at "
+                                 "scale Delta")
+        deg = max(ct.degree for ct in all_cts)
+
+        def pad(ct):
+            d = ct.data[:, :lvl + 1]
+            if ct.degree < deg:
+                z = jnp.zeros((deg - ct.degree,) + d.shape[1:], d.dtype)
+                d = jnp.concatenate([d, z])
+            return d
+
+        stack_d = jnp.stack([pad(ct) for ct, _ in dense_pairs])
+        pts = jnp.stack([pt.data[:lvl + 1] for _, pt in dense_pairs])
+        data = ops_impl.ct_linear_combo_dense(self.params, self.tabs,
+                                              stack_d, pts)
+        scalar_pairs = [(ct, c) for ct, c in scalar_pairs if c != 0]
+        if scalar_pairs:
+            stack_s = jnp.stack([pad(ct) for ct, _ in scalar_pairs])
+            consts = jnp.stack([
+                self._scalar_mul_consts(c, target, lvl, mont=False)
+                for _, c in scalar_pairs])
+            data_s = ops_impl.ct_linear_combo(self.params, self.tabs,
+                                              stack_s, consts)
+            tr = ops_impl._tabs_rows(self.tabs,
+                                     ops_impl._rows(self.params, lvl, False))
+            data = rns.add_mod(data, data_s, tr["q"].reshape((1, -1, 1)))
+        out = Ciphertext(data, base_scale * target)
+        if isinstance(constant, np.ndarray) and constant.ndim > 0:
+            pt = self.encode(constant, level=lvl, scale=out.scale)
+            out = self._add_dense_pt(out, pt.data, pt.scale)
+        elif constant != 0:
+            out = self._add_scalar(out, complex(constant), out.scale)
         return self._rescale(out)
 
     def inner_product(self, lhs: Sequence[Ciphertext],

@@ -222,6 +222,28 @@ def ct_linear_combo(params: CKKSParams, tabs: DeviceTables, stack, consts):
 
 
 @functools.partial(jax.jit, static_argnums=0)
+def ct_linear_combo_dense(params: CKKSParams, tabs: DeviceTables, stack, pts):
+    """sum_k stack[k] * dense_pt[k] -- vector-coefficient LUT-sum kernel.
+
+    stack: [K, deg+1, l+1, N]; pts: [K, l+1, N] Montgomery eval.  Returns
+    [deg+1, l+1, N] (caller rescales once).  Per-slot coefficient vectors
+    make key-dependent LUTs (e.g. AddRoundKey folded into a LUT stage) cost
+    the same one level as slot-constant ones.
+    """
+    K = stack.shape[0]
+    level = stack.shape[2] - 1
+    tr = _tabs_rows(tabs, _rows(params, level, False))
+    q = tr["q"].reshape((1, 1, -1, 1))
+    qinv = tr["qinv"].reshape((1, 1, -1, 1))
+    terms = rns.mont_mul(stack, pts[:, None], q, qinv)
+    acc = terms[0]
+    q3 = q[0]
+    for k in range(1, K):
+        acc = rns.add_mod(acc, terms[k], q3)
+    return acc
+
+
+@functools.partial(jax.jit, static_argnums=0)
 def ct_tensor_sum(params: CKKSParams, tabs: DeviceTables, a_stack, b_stack):
     """sum_k tensor(a[k], b[k]) -> degree-2 data [3, l+1, N].
 
@@ -402,9 +424,8 @@ def ks_inner_and_moddown(params: CKKSParams, tabs: DeviceTables, d_eval,
         ta = rns.mont_mul(d_eval[j], ka, qb, qinv_b)
         acc_b = tb if acc_b is None else rns.add_mod(acc_b, tb, qb)
         acc_a = ta if acc_a is None else rns.add_mod(acc_a, ta, qb)
-    b_out = _mod_down_specials(params, tabs, acc_b, level)
-    a_out = _mod_down_specials(params, tabs, acc_a, level)
-    return b_out, a_out
+    ba = _mod_down_specials(params, tabs, jnp.stack([acc_b, acc_a]), level)
+    return ba[0], ba[1]
 
 
 @functools.partial(jax.jit, static_argnums=0)
@@ -491,18 +512,67 @@ def keyswitch(params: CKKSParams, tabs: DeviceTables, c_eval, key_b, key_a):
         acc_b = tb if acc_b is None else rns.add_mod(acc_b, tb, qb[0])
         acc_a = ta if acc_a is None else rns.add_mod(acc_a, ta, qb[0])
 
-    # 5) mod-down by the special primes
-    b_out = _mod_down_specials(params, tabs, acc_b, level)
-    a_out = _mod_down_specials(params, tabs, acc_a, level)
-    return b_out, a_out
+    # 5) mod-down by the special primes (b and a batched through one call)
+    ba = _mod_down_specials(params, tabs, jnp.stack([acc_b, acc_a]), level)
+    return ba[0], ba[1]
 
 
 def _mod_down_specials(params: CKKSParams, tabs: DeviceTables, x, level: int):
-    """x: [l+1+K, N] over (active q | specials) -> [l+1, N] = round(x / P).
+    """x: [..., l+1+K, N] over (active q | specials) -> [..., l+1, N] ~ x / P.
 
-    Divides by the special primes one at a time; centered lifting of each
-    dropped limb gives rounding (not floor) division, the standard hybrid
-    key-switch mod-down.
+    Fused one-shot mod-down: ONE batched iNTT over the K special rows, an
+    approximate CRT base conversion P -> active q on the VPU, and ONE batched
+    NTT over the q rows — instead of K sequential full-width NTT round trips.
+    The conversion error is bounded by K+1 coefficient units (the unreduced
+    CRT overshoot v*P plus flooring), i.e. ~2^-23 of one Delta=2^26 scale
+    unit — far below the key-switch noise this divides.
+    """
+    K = params.num_special
+    lp1 = level + 1
+    mdt = params.md_tables(level)
+    lead = x.shape[:-2]
+    nl = len(lead)
+
+    def shp(t, rows):
+        return jnp.asarray(t).reshape((1,) * nl + (rows, 1))
+
+    sp_rows = np.arange(params.num_q, params.num_q + K, dtype=np.int32)
+    tr_s = _tabs_rows(tabs, sp_rows)
+    tr_q = _tabs_rows(tabs, _rows(params, level, False))
+    qv = shp(tr_q["q"], lp1)
+
+    # 1) special limbs -> plain coefficient domain (one batched iNTT)
+    spec = x[..., lp1:, :]                                   # [..., K, N]
+    d_coeff = intt_rows(spec, tr_s)
+    ps = shp(tr_s["q"], K)
+    d_plain = rns.from_mont(d_coeff, ps, shp(tr_s["qinv"], K))
+
+    # 2) y_i = d_i * (P/p_i)^{-1} mod p_i; conv_m = sum_i y_i*(P/p_i) mod q_m
+    y = rns.shoup_mul(d_plain, shp(mdt["inv_w"], K), shp(mdt["inv_sh"], K), ps)
+    conv = None
+    for i in range(K):
+        term = rns.shoup_mul(
+            y[..., i:i + 1, :],
+            shp(mdt["conv_w"][i], lp1), shp(mdt["conv_sh"][i], lp1), qv)
+        conv = term if conv is None else rns.add_mod(conv, term, qv)
+
+    # 3) back to Montgomery eval domain (one batched NTT over the q rows)
+    conv_m = rns.to_mont(conv, qv, shp(tr_q["qinv"], lp1),
+                         shp(tr_q["r2"], lp1))
+    conv_eval = ntt_rows(conv_m, tr_q)
+
+    # 4) (x_q - conv) * P^{-1} mod q
+    diff = rns.sub_mod(x[..., :lp1, :], conv_eval, qv)
+    return rns.shoup_mul(diff, shp(mdt["pinv_w"], lp1),
+                         shp(mdt["pinv_sh"], lp1), qv)
+
+
+def _mod_down_specials_exact(params: CKKSParams, tabs: DeviceTables, x,
+                             level: int):
+    """Exact (rounding) mod-down reference: divides by the special primes one
+    at a time with centered lifting.  Kept as the ground-truth oracle for
+    tests/test_engine.py's mod-down equivalence check; the production path is
+    the fused approximate version above.
     """
     K = params.num_special
     lp1 = level + 1

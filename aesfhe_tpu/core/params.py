@@ -143,6 +143,7 @@ class CKKSParams:
 
         self._galois_perm_cache: dict[int, np.ndarray] = {}
         self._ks_tables_cache: dict[int, dict] = {}
+        self._md_tables_cache: dict[int, dict] = {}
 
     # -- identity hashing so params can be a jit static arg ----------------
     def __hash__(self):
@@ -217,6 +218,47 @@ class CKKSParams:
                                    conv_w=conv_w, conv_sh=conv_sh))
         tabs = dict(basis=np.asarray(basis, dtype=np.uint32), groups=out_groups)
         self._ks_tables_cache[level] = tabs
+        return tabs
+
+    def md_tables(self, level: int) -> dict:
+        """Per-level constants for the fused one-shot special-prime mod-down
+        (approximate CRT base conversion P -> active q, error <= K coefficient
+        units — negligible against Delta-scaled key-switch noise):
+          inv[i]    = (P / p_i)^(-1) mod p_i                 (Shoup pair)
+          conv[i][m] = (P / p_i) mod q_m                      (Shoup pair)
+          pinv[m]   = P^(-1) mod q_m                          (Shoup pair)
+        """
+        if level in self._md_tables_cache:
+            return self._md_tables_cache[level]
+        K = self.num_special
+        lp1 = level + 1
+        P = 1
+        for p in self.special_primes:
+            P *= p
+        inv_w = np.zeros(K, dtype=np.uint32)
+        inv_sh = np.zeros(K, dtype=np.uint32)
+        conv_w = np.zeros((K, lp1), dtype=np.uint32)
+        conv_sh = np.zeros((K, lp1), dtype=np.uint32)
+        pinv_w = np.zeros(lp1, dtype=np.uint32)
+        pinv_sh = np.zeros(lp1, dtype=np.uint32)
+        for i, p in enumerate(self.special_primes):
+            hat = P // p
+            w = pow(hat % p, -1, p)
+            inv_w[i] = w
+            inv_sh[i] = rns.shoup_precompute(w, p)
+            for m in range(lp1):
+                qm = self.q_primes[m]
+                hm = hat % qm
+                conv_w[i, m] = hm
+                conv_sh[i, m] = rns.shoup_precompute(hm, qm)
+        for m in range(lp1):
+            qm = self.q_primes[m]
+            w = pow(P % qm, -1, qm)
+            pinv_w[m] = w
+            pinv_sh[m] = rns.shoup_precompute(w, qm)
+        tabs = dict(inv_w=inv_w, inv_sh=inv_sh, conv_w=conv_w,
+                    conv_sh=conv_sh, pinv_w=pinv_w, pinv_sh=pinv_sh)
+        self._md_tables_cache[level] = tabs
         return tabs
 
 

@@ -173,3 +173,64 @@ def test_deep_circuit_precision(tiny_engine):
         ref = ref * ref
     dec = eng.decrypt(ct, E["sk"])
     assert np.max(np.abs(dec - ref)) < 5e-3
+
+
+def test_fused_mod_down_matches_exact(tiny_engine):
+    # The production key-switch mod-down is a fused one-shot approximate CRT
+    # base conversion; its divergence from the exact (sequential, rounding)
+    # division is bounded by K+1 coefficient units (ops_impl._mod_down_specials
+    # docstring).  Verify on a real key-switch accumulator state.
+    import jax.numpy as jnp
+    from aesfhe_tpu.core import ops_impl, rns
+    E = tiny_engine
+    eng = E["eng"]
+    params = eng.params
+    tabs = eng.tabs
+    rng = np.random.RandomState(7)
+    level = params.top_level
+    lp1 = level + 1
+    K = params.num_special
+    rows = ops_impl._rows(params, level, True)
+    qs = params.q_arr[rows].astype(np.uint32)
+    x = (rng.randint(0, 1 << 30, size=(lp1 + K, params.n)).astype(np.uint64)
+         % qs[:, None]).astype(np.uint32)
+    fused = np.asarray(ops_impl._mod_down_specials(params, tabs,
+                                                   jnp.asarray(x), level))
+    exact = np.asarray(ops_impl._mod_down_specials_exact(params, tabs,
+                                                         jnp.asarray(x),
+                                                         level))
+    # compare in plain coefficient domain: |fused - exact| <= K+1 mod q_i
+    tr_q = ops_impl._tabs_rows(tabs, ops_impl._rows(params, level, False))
+    def to_plain(v):
+        c = ops_impl.intt_rows(jnp.asarray(v), tr_q)
+        return np.asarray(rns.from_mont(c, tr_q["q"].reshape(-1, 1),
+                                        tr_q["qinv"].reshape(-1, 1)))
+    pf, pe = to_plain(fused), to_plain(exact)
+    qcol = params.q_arr[:lp1].astype(np.int64)[:, None]
+    diff = (pf.astype(np.int64) - pe.astype(np.int64)) % qcol
+    diff = np.minimum(diff, qcol - diff)
+    assert diff.max() <= K + 1, diff.max()
+
+
+def test_linear_combination_dense_coeffs(tiny_engine):
+    # per-slot vector coefficients (Plaintext / raw numpy) mix with scalars
+    # and cost the same single rescale as the scalar path
+    from aesfhe_tpu.core.ciphertext import Plaintext
+    E = tiny_engine
+    eng = E["eng"]
+    sc = eng.slot_count
+    rng = np.random.RandomState(3)
+    x = rng.rand(sc) + 1j * rng.rand(sc)
+    y = rng.rand(sc) - 0.5
+    ct_x = eng.encrypt(x, E["pk"])
+    ct_y = eng.encrypt(y, E["pk"])
+    w = np.exp(2j * np.pi * rng.rand(sc))          # dense unit-modulus weights
+    const_vec = rng.rand(sc)
+    pt_w = eng.encode(w)
+    lvl_before = ct_x.level
+    out = eng.linear_combination([ct_x, ct_y], [pt_w, 0.5 - 0.25j],
+                                 constant=const_vec)
+    ref = w * x + (0.5 - 0.25j) * y + const_vec
+    dec = eng.decrypt(out, E["sk"])
+    assert np.max(np.abs(dec - ref)) < 5e-3
+    assert out.level == lvl_before - 1            # one rescale total
