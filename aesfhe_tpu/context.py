@@ -36,14 +36,30 @@ class EngineContext:
                              special_prime_count=special_prime_count,
                              mode=mode, use_bootstrap=use_bootstrap,
                              profile=profile)
-        # full key family up front (/root/reference/engine_context.py:62-73)
-        self.secret_key = self.engine.create_secret_key()
-        self.public_key = self.engine.create_public_key(self.secret_key)
-        self.relinearization_key = self.engine.create_relinearization_key(
-            self.secret_key)
-        self.conjugation_key = self.engine.create_conjugation_key(
-            self.secret_key)
-        self.rotation_key = self.engine.create_rotation_key(self.secret_key)
+        # full key family up front (/root/reference/engine_context.py:62-73);
+        # with AESFHE_KEY_CACHE set, the family is loaded from / persisted to
+        # disk keyed by a params fingerprint (keygen is the dominant fixed
+        # cost of every run -- explicit opt-in since the secret key touches
+        # disk; see utils/serialization.cached_key_family)
+        import os as _os
+        cache_dir = _os.environ.get("AESFHE_KEY_CACHE")
+        if cache_dir:
+            from .utils.serialization import cached_key_family
+            fam = cached_key_family(self.engine, cache_dir)
+            self.secret_key = fam["secret"]
+            self.public_key = fam["public"]
+            self.relinearization_key = fam["relin"]
+            self.conjugation_key = fam["conj"]
+            self.rotation_key = fam["rotation"]
+        else:
+            self.secret_key = self.engine.create_secret_key()
+            self.public_key = self.engine.create_public_key(self.secret_key)
+            self.relinearization_key = self.engine.create_relinearization_key(
+                self.secret_key)
+            self.conjugation_key = self.engine.create_conjugation_key(
+                self.secret_key)
+            self.rotation_key = self.engine.create_rotation_key(
+                self.secret_key)
         if fixed_rotations:
             fixed = self.engine.create_fixed_rotation_key(
                 self.secret_key, list(fixed_rotations))

@@ -58,6 +58,51 @@ def save_keys(path: Path, *, secret: SecretKey | None = None,
     np.savez_compressed(path, **arrays)
 
 
+def params_fingerprint(params) -> str:
+    """Stable fingerprint of everything keygen depends on: the ring, the
+    full prime basis, and the digit-group structure."""
+    import hashlib
+    h = hashlib.sha256()
+    h.update(repr((params.n, params.max_level, params.scale_bits,
+                   params.secret_hamming, params.alpha,
+                   params.all_primes)).encode())
+    return h.hexdigest()[:16]
+
+
+def cached_key_family(engine, cache_dir) -> dict:
+    """Load the (secret, public, relin, conj, rotation) key family for
+    `engine` from `cache_dir`, generating and persisting it on first use.
+
+    Keys are fingerprinted by the full parameter set, so a params change
+    transparently regenerates.  This is an explicit opt-in (the secret key
+    touches disk): production callers keep the reference's
+    regenerate-every-run behavior (/root/reference/engine_context.py:62-73)
+    unless AESFHE_KEY_CACHE is set.
+    """
+    cache_dir = Path(cache_dir)
+    cache_dir.mkdir(parents=True, exist_ok=True)
+    path = cache_dir / f"keys_{params_fingerprint(engine.params)}.npz"
+    if path.exists():
+        try:
+            k = load_keys(path)
+            if {"secret", "public", "relin", "conj", "rotation"} <= set(k):
+                return k
+        except Exception:
+            path.unlink(missing_ok=True)
+    sk = engine.create_secret_key()
+    out = dict(secret=sk,
+               public=engine.create_public_key(sk),
+               relin=engine.create_relinearization_key(sk),
+               conj=engine.create_conjugation_key(sk),
+               rotation=engine.create_rotation_key(sk))
+    tmp = path.with_suffix(".tmp.npz")
+    save_keys(tmp, secret=out["secret"], public=out["public"],
+              relin=out["relin"], conj=out["conj"],
+              rotation=out["rotation"])
+    tmp.replace(path)
+    return out
+
+
 def load_keys(path: Path) -> dict:
     z = np.load(path)
     meta = json.loads(bytes(z["_meta"]).decode()) if "_meta" in z else {}

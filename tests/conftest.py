@@ -33,55 +33,54 @@ from aesfhe_tpu.core.params import get_params
 from aesfhe_tpu.core.engine import Engine
 
 
+# key cache: keygen is the dominant fixed cost of a warm suite run (compiles
+# are covered by the persistent jax cache above). Opt-in via env so a clean
+# run is still possible with AESFHE_KEY_CACHE="".
+os.environ.setdefault("AESFHE_KEY_CACHE", "/root/.cache/aesfhe_keys")
+
+
 @pytest.fixture(scope="session", autouse=True)
 def _seed():
     keys_mod.seed_keygen(0)
 
 
+def _engine_fixture(profile: str) -> dict:
+    """One keygen per test session per profile (mirrors the reference's
+    module-scoped engine fixtures, /root/reference/test/test_xor_service.py:
+    15-28), load-or-generate through the on-disk key cache."""
+    eng = Engine(get_params(profile))
+    cache_dir = os.environ.get("AESFHE_KEY_CACHE")
+    if cache_dir:
+        from aesfhe_tpu.utils.serialization import cached_key_family
+        fam = cached_key_family(eng, cache_dir)
+        return dict(eng=eng, sk=fam["secret"], pk=fam["public"],
+                    rlk=fam["relin"], conj=fam["conj"], rot=fam["rotation"])
+    sk = eng.create_secret_key()
+    return dict(eng=eng, sk=sk, pk=eng.create_public_key(sk),
+                rlk=eng.create_relinearization_key(sk),
+                conj=eng.create_conjugation_key(sk),
+                rot=eng.create_rotation_key(sk))
+
+
 @pytest.fixture(scope="session")
 def tiny_engine():
-    """Small-ring engine; one keygen per test session (mirrors the reference's
-    module-scoped engine fixtures, /root/reference/test/test_xor_service.py:15-28)."""
-    eng = Engine(get_params("tiny"))
-    sk = eng.create_secret_key()
-    pk = eng.create_public_key(sk)
-    rlk = eng.create_relinearization_key(sk)
-    conj = eng.create_conjugation_key(sk)
-    rot = eng.create_rotation_key(sk)
-    return dict(eng=eng, sk=sk, pk=pk, rlk=rlk, conj=conj, rot=rot)
+    """Small-ring engine."""
+    return _engine_fixture("tiny")
 
 
 @pytest.fixture(scope="session")
 def deep_engine():
     """Long-chain insecure ring for the deep AES-round circuits."""
-    eng = Engine(get_params("deep"))
-    sk = eng.create_secret_key()
-    pk = eng.create_public_key(sk)
-    rlk = eng.create_relinearization_key(sk)
-    conj = eng.create_conjugation_key(sk)
-    rot = eng.create_rotation_key(sk)
-    return dict(eng=eng, sk=sk, pk=pk, rlk=rlk, conj=conj, rot=rot)
+    return _engine_fixture("deep")
 
 
 @pytest.fixture(scope="session")
 def hp_engine():
     """High-precision (2^52 scale) ring for byte-domain deg-255 LUT circuits."""
-    eng = Engine(get_params("hp"))
-    sk = eng.create_secret_key()
-    pk = eng.create_public_key(sk)
-    rlk = eng.create_relinearization_key(sk)
-    conj = eng.create_conjugation_key(sk)
-    rot = eng.create_rotation_key(sk)
-    return dict(eng=eng, sk=sk, pk=pk, rlk=rlk, conj=conj, rot=rot)
+    return _engine_fixture("hp")
 
 
 @pytest.fixture(scope="session")
 def test_engine():
     """Mid-size engine (N=2^12, 16 levels) for deep circuits (S-box etc.)."""
-    eng = Engine(get_params("test"))
-    sk = eng.create_secret_key()
-    pk = eng.create_public_key(sk)
-    rlk = eng.create_relinearization_key(sk)
-    conj = eng.create_conjugation_key(sk)
-    rot = eng.create_rotation_key(sk)
-    return dict(eng=eng, sk=sk, pk=pk, rlk=rlk, conj=conj, rot=rot)
+    return _engine_fixture("test")
