@@ -83,7 +83,19 @@ def _int_to_rns(v: np.ndarray, primes) -> np.ndarray:
 
 
 def _to_eval(params: CKKSParams, tabs, residues_u32, rows) -> Any:
-    """Plain coeff residues [L, N] (numpy) -> Montgomery eval (device)."""
+    """Plain coeff residues [L, N] (numpy) -> Montgomery eval (device).
+
+    Prefers the native C++ host kernels (aesfhe_tpu/native): keygen calls
+    this dozens of times with varying row counts, and each distinct shape
+    would otherwise cost a fresh XLA compile of the NTT graph."""
+    from .. import native
+    nat = native.to_eval_batch(residues_u32,
+                               params.q_arr[rows], params.qinv_arr[rows],
+                               params.r2_arr[rows],
+                               params.tables.w[rows],
+                               params.tables.w_sh[rows])
+    if nat is not None:
+        return jnp.asarray(nat)
     tr = ops_impl._tabs_rows(tabs, rows)
     x = jnp.asarray(residues_u32)
     q = tr["q"].reshape((-1, 1))

@@ -1,0 +1,79 @@
+"""Native host-kernel tests: the C++ kernels (aesfhe_tpu/native) must be
+bit-identical to the JAX reference paths in core/rns.py / core/ntt.py.
+This is the contract that lets keygen and other host legs bypass XLA."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from aesfhe_tpu import native
+from aesfhe_tpu.core import rns, ntt, ops_impl
+from aesfhe_tpu.core.params import get_params
+
+pytestmark = pytest.mark.skipif(not native.get_lib(),
+                                reason="native host library unavailable")
+
+
+@pytest.fixture(scope="module")
+def small():
+    params = get_params("tiny")
+    rng = np.random.default_rng(3)
+    L = params.L_tot
+    x = np.zeros((L, params.n), dtype=np.uint32)
+    for i, q in enumerate(params.all_primes):
+        x[i] = rng.integers(0, q, params.n, dtype=np.uint32)
+    return params, x
+
+
+def test_to_eval_matches_jax(small):
+    params, x = small
+    rows = np.arange(params.L_tot, dtype=np.int32)
+    nat = native.to_eval_batch(x, params.q_arr, params.qinv_arr,
+                               params.r2_arr, params.tables.w,
+                               params.tables.w_sh)
+    tabs = ops_impl.DeviceTables.build(params)
+    tr = ops_impl._tabs_rows(tabs, rows)
+    q = tr["q"].reshape((-1, 1))
+    xm = rns.to_mont(jnp.asarray(x), q, tr["qinv"].reshape((-1, 1)),
+                     tr["r2"].reshape((-1, 1)))
+    ref = np.asarray(ops_impl.ntt_rows(xm, tr))
+    assert np.array_equal(nat, ref)
+
+
+def test_ntt_fwd_matches_jax(small):
+    params, x = small
+    t = params.tables
+    nat = native.ntt_fwd_batch(x, params.q_arr, t.w, t.w_sh)
+    ref = np.asarray(ntt.ntt_fwd_unrolled(
+        jnp.asarray(x), jnp.asarray(t.w), jnp.asarray(t.w_sh),
+        jnp.asarray(t.q)))
+    assert np.array_equal(nat, ref)
+
+
+def test_ntt_inv_roundtrip_and_matches_jax(small):
+    params, x = small
+    t = params.tables
+    fwd = native.ntt_fwd_batch(x, params.q_arr, t.w, t.w_sh)
+    inv = native.ntt_inv_batch(fwd, params.q_arr, t.wi, t.wi_sh,
+                               t.ninv, t.ninv_sh)
+    assert np.array_equal(inv, x)
+    ref = np.asarray(ntt.ntt_inv_unrolled(
+        jnp.asarray(fwd), jnp.asarray(t.wi), jnp.asarray(t.wi_sh),
+        jnp.asarray(t.q), jnp.asarray(t.ninv), jnp.asarray(t.ninv_sh)))
+    assert np.array_equal(inv, ref)
+
+
+def test_from_mont_matches_jax(small):
+    params, x = small
+    nat = native.from_mont_batch(x, params.q_arr, params.qinv_arr)
+    q = jnp.asarray(params.q_arr).reshape((-1, 1))
+    ref = np.asarray(rns.from_mont(
+        jnp.asarray(x), q, jnp.asarray(params.qinv_arr).reshape((-1, 1))))
+    assert np.array_equal(nat, ref)
+
+
+def test_inputs_not_mutated(small):
+    params, x = small
+    before = x.copy()
+    native.ntt_fwd_batch(x, params.q_arr, params.tables.w,
+                         params.tables.w_sh)
+    assert np.array_equal(x, before)
