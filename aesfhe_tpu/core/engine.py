@@ -565,10 +565,23 @@ class Engine:
             acc = self._add_scalar(acc, coeffs[0], acc.scale)
         return acc
 
+    def trivial_ct(self, val=1.0, level: int | None = None,
+                   scale: float | None = None) -> Ciphertext:
+        """Noise-free trivial ciphertext (b=encode(val), a=0): decrypts to
+        `val` under any secret key.  Lets constant terms ride fused
+        reductions (inner_product/linear_combination) uniformly instead of
+        special-casing them."""
+        if np.isscalar(val):
+            val = np.full(self.params.slot_count, complex(val))
+        pt = self.encode(val, level=level, scale=scale)
+        z = jnp.zeros_like(pt.data)
+        return Ciphertext(jnp.stack([pt.data, z]), pt.scale)
+
     # ----- TPU-first fused reductions ---------------------------------
     def linear_combination(self, cts: Sequence[Ciphertext],
                            coeffs: Sequence[complex],
-                           constant: complex = 0.0) -> Ciphertext:
+                           constant: complex = 0.0,
+                           coeff_scale: float | None = None) -> Ciphertext:
         """sum_k coeffs[k] * cts[k] (+ constant), with ONE rescale total.
 
         The reference evaluates LUT sums as per-term multiply+add engine
@@ -581,6 +594,13 @@ class Engine:
         or raw numpy vectors (encoded on the fly).  Mixing is allowed; the
         dense and scalar groups fuse into one kernel each and one rescale
         total.
+
+        `coeff_scale` overrides the encoding scale of SCALAR coefficients
+        (scale-targeted combination: pick coeff_scale = target * q_l /
+        input_scale to land the output on an exact target scale, resetting
+        multiplicative scale drift without a dedicated level -- see
+        DESIGN_NOTES "lazy-rescale / scale-targeted combo").  Only valid for
+        pure-scalar combinations.
         """
         dense_pairs = []
         scalar_list = []
@@ -593,8 +613,11 @@ class Engine:
             else:
                 scalar_list.append((ct, complex(c)))
         if dense_pairs:
+            assert coeff_scale is None, (
+                "coeff_scale requires all-scalar coefficients")
             return self._linear_combination_mixed(dense_pairs, scalar_list,
                                                   constant)
+        target = self.params.scale if coeff_scale is None else coeff_scale
         pairs = [(ct, complex(c)) for ct, c in zip(cts, coeffs) if c != 0]
         if not pairs:
             z = self._mul_scalar(cts[0], 0.0, self.params.scale)
@@ -636,11 +659,10 @@ class Engine:
             datas.append(d)
         stack = jnp.stack(datas)                       # [K, deg+1, l+1, N]
         consts = jnp.stack([
-            self._scalar_mul_consts(complex(c), self.params.scale, lvl,
-                                    mont=False)
+            self._scalar_mul_consts(complex(c), target, lvl, mont=False)
             for c in coeffs])                          # [K, l+1, 4]
         data = ops_impl.ct_linear_combo(self.params, self.tabs, stack, consts)
-        out = Ciphertext(data, base_scale * self.params.scale)
+        out = Ciphertext(data, base_scale * target)
         if constant != 0:
             out = self._add_scalar(out, complex(constant) , out.scale)
         return self._rescale(out)

@@ -140,6 +140,25 @@ class EngineWrapper:
         return self.engine.bootstrap(ct, self.relin_key, self.conj_key,
                                      self.boot_key)
 
+    def ensure_rotation_steps(self, steps):
+        """Generate direct Galois keys for any `steps` missing from the
+        rotation key set (hoisted_rotations needs direct keys; the default
+        set is the power-of-two ladder).  Requires the secret key, i.e. the
+        key-owning party -- services call this at construction time, the
+        same place the reference generates its fixed-rotation keys
+        (/root/reference/engine_context.py:68-69)."""
+        from ..core import keys as keys_mod
+        params = self.engine.params
+        sc = params.slot_count
+        missing = [s % sc for s in steps
+                   if s % sc and
+                   params.rot_galois_elt(s % sc) not in self.rot_key.keys]
+        if missing:
+            fixed = keys_mod.gen_rotation_keys(params, self.engine.tabs,
+                                               self.secret_key,
+                                               sorted(set(missing)))
+            self.rot_key.keys.update(fixed.keys)
+
     # TPU-first fused reductions, exposed for the services
     def linear_combination(self, cts, coeffs, constant=0.0):
         return self.engine.linear_combination(cts, coeffs, constant)

@@ -184,3 +184,81 @@ class AESFHE128:
         pair = self.encrypt_rounds(pair, rounds=rounds)
         out = self.decrypt_state(pair)
         return bytes(out[:16 * nblocks])
+
+
+class AESFHE128Bitsliced:
+    """Full AES-128 on the bit-sliced Walsh pipeline (ops/bitplane.py).
+
+    One middle round = SubBytes-with-folded-AddRoundKey (4 levels) +
+    ShiftRows (1) + MixColumns (4-5) + sign-cleanse (3) ~= 13 levels --
+    3.6x shallower than the zeta nibble-pair pipeline's ~47, so two rounds
+    fit between bootstraps on the production chain instead of three
+    refreshes per round.  AddRoundKey costs ZERO levels mid-pipeline (folded
+    into SubBytes' Walsh coefficients; the final round folds it into the
+    ShiftRows mask weights)."""
+
+    ROUND_DEPTH = 13          # rescale units consumed by one middle round
+
+    def __init__(self, eng_wrap: EngineWrapper, key: bytes | np.ndarray,
+                 refresh: Optional[Callable[[Ciphertext], Ciphertext]] = None):
+        from .ops.bitplane import BitSliceService
+        self.eng = eng_wrap
+        self.svc = BitSliceService(eng_wrap)
+        self.round_keys = expand_key_128(key)
+        self.refresh = refresh
+
+    def encrypt_state(self, state_bytes: np.ndarray):
+        return self.svc.encrypt_state(state_bytes)
+
+    def decrypt_state(self, st) -> np.ndarray:
+        return self.svc.decrypt_state(st)
+
+    def _refresh(self, st, need_levels: int):
+        """Bootstrap every plane sitting below the needed depth, then
+        sign-cleanse (EvalMod noise ~1e-2 must be squashed below the
+        round's noise fixed point before the Walsh combine amplifies it)."""
+        if self.refresh is None:
+            return st
+        from .ops.bitplane import BitState
+        r = self.eng.engine.params.rescale_primes
+        need = need_levels * r + 2
+        if min(b.level for b in st.bits) >= need:
+            return st
+        st = BitState([self.refresh(b) for b in st.bits])
+        return self.svc.cleanse(st)
+
+    def encrypt_rounds(self, st, rounds: int = 10):
+        """ARK(rk0) is folded into round 1's SubBytes; each middle round
+        folds ARK(rk_r) into the next round's SubBytes; the final round
+        (r=10) folds it into ShiftRows.  Partial evaluations (rounds < 10)
+        close with an explicit AddRoundKey so the result matches the FIPS
+        oracle prefix (tests/aes_oracle.aes128_partial)."""
+        svc = self.svc
+        for r in range(1, rounds + 1):
+            st = self._refresh(st, self.ROUND_DEPTH)
+            st = svc.sub_bytes(st, round_key=self.round_keys[r - 1])
+            if r == 10:
+                st = svc.shift_rows(st, fold_key=self.round_keys[10])
+            else:
+                st = svc.shift_rows(st)
+                st = svc.mix_columns(st)
+                st = svc.cleanse(st)
+        if rounds < 10:
+            st = svc.xor_plain(st, self.round_keys[rounds])
+        return st
+
+    def decrypt_rounds(self, st, rounds: int = 10):
+        """Inverse cipher: undo rounds `rounds`..1 then ARK(rk0) (the
+        reference's inverse transformer raises NotImplementedError,
+        /root/reference/mixcolumns_service.py:85-88)."""
+        svc = self.svc
+        for r in range(rounds, 0, -1):
+            st = self._refresh(st, self.ROUND_DEPTH + 4)
+            st = svc.xor_plain(st, self.round_keys[r])
+            if r != 10:
+                st = svc.mix_columns(st, inverse=True)
+                st = svc.cleanse(st)
+            st = svc.shift_rows(st, inverse=True)
+            st = svc.sub_bytes(st, inverse=True)
+            st = svc.cleanse(st)
+        return svc.xor_plain(st, self.round_keys[0])
