@@ -62,17 +62,24 @@ def cmd_demo_aes(args):
     from .core import keys as keys_mod
     from .core.params import get_params
     from .context import EngineContext
-    from .ops.xor_service import EngineWrapper, XORService
+    from .ops.xor_service import XORConfig, EngineWrapper, XORService
     from .ops.mixcolumns_service import AESFHETransformer
     from .ops.shiftrows_service import AESFHEShiftRows
-    from .pipeline import AESFHE128
+    from .pipeline import AESFHE128, AESFHE128Bitsliced
     keys_mod.seed_keygen(args.seed)
-    ctx = EngineContext(params=get_params(args.profile))
-    wrap = EngineWrapper(ctx=ctx)
-    xor_svc = XORService(wrap)
-    aes = AESFHE128(wrap, xor_svc, AESFHETransformer(wrap, xor_svc),
-                    AESFHEShiftRows(wrap, xor_svc),
-                    bytes.fromhex("000102030405060708090a0b0c0d0e0f"))
+    key = bytes.fromhex("000102030405060708090a0b0c0d0e0f")
+    if args.pipeline == "bitsliced":
+        wrap = EngineWrapper(XORConfig(profile=args.profile,
+                                       use_bootstrap=args.bootstrap))
+        ctx = wrap.ctx
+        refresh = wrap.bootstrap if args.bootstrap else None
+        aes = AESFHE128Bitsliced(wrap, key, refresh=refresh)
+    else:
+        ctx = EngineContext(params=get_params(args.profile))
+        wrap = EngineWrapper(ctx=ctx)
+        xor_svc = XORService(wrap)
+        aes = AESFHE128(wrap, xor_svc, AESFHETransformer(wrap, xor_svc),
+                        AESFHEShiftRows(wrap, xor_svc), key)
     sc = ctx.engine.slot_count
     rng = np.random.default_rng(0)
     state = rng.integers(0, 256, sc, dtype=np.uint8)
@@ -84,9 +91,7 @@ def cmd_demo_aes(args):
     sys.path.insert(0, ".")
     from tests.aes_oracle import aes128_partial
     want = np.concatenate([
-        aes128_partial(state[b:b + 16],
-                       bytes.fromhex("000102030405060708090a0b0c0d0e0f"),
-                       rounds=args.rounds)
+        aes128_partial(state[b:b + 16], key, rounds=args.rounds)
         for b in range(0, sc, 16)])
     ok = np.array_equal(got, want)
     print(f"AES-128 x{args.rounds} round(s), {sc // 16} blocks: correct={ok} "
@@ -118,6 +123,10 @@ def main():
     p.add_argument("--profile", default="deep")
     p.add_argument("--rounds", type=int, default=1)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--pipeline", choices=("zeta", "bitsliced"),
+                   default="zeta")
+    p.add_argument("--bootstrap", action="store_true",
+                   help="refresh between rounds (bootstrap-capable profile)")
     p.set_defaults(fn=cmd_demo_aes)
     sub.add_parser("bench").set_defaults(fn=cmd_bench)
     args = ap.parse_args()

@@ -266,8 +266,11 @@ _PROFILES = dict(
     tiny=dict(n=1 << 10, max_level=8, scale_bits=26, num_special_primes=2),
     test=dict(n=1 << 12, max_level=16, scale_bits=26, num_special_primes=3),
     # deep: small insecure ring with a long chain, for exercising the full
-    # AES round circuits in CI without bootstrap
-    deep=dict(n=1 << 12, max_level=48, scale_bits=27, num_special_primes=6),
+    # AES round circuits in CI without bootstrap.  Delta = 2^28: the zeta
+    # one-round circuit lands at level 1 with worst-case phase error ~0.04
+    # of the decode margin (at 2^27 it was ~0.35 and single slots flipped;
+    # scripts/debug_round_noise.py measures this per stage)
+    deep=dict(n=1 << 12, max_level=48, scale_bits=28, num_special_primes=6),
     # hp: high-precision 2^52 scale (prime-pair rescale) for the byte-domain
     # degree-255 LUT services (GF/S-box/256x256-XOR)
     hp=dict(n=1 << 12, max_level=14, scale_bits=52, num_special_primes=3),

@@ -1,24 +1,26 @@
 #!/usr/bin/env python
-"""Benchmark: homomorphic AES round-step throughput on the real device.
+"""Benchmark: homomorphic AES round throughput on the real device.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-Measures the recurring inner work of the AES-FHE pipeline on a SIMD-packed
-ciphertext batch: AddRoundKey (plaintext round key, 16 pt-multiplies) +
-full SubBytes (2D nibble LUT pair with hoisted relinearization), i.e. the
-nibble-pair round step of aesfhe_tpu/pipeline.py.  slot_count/16 AES blocks
-per evaluation (2048 at the default N=2^16 -- the reference's "2K blocks per
-ciphertext" capacity, /root/reference/README.md:29).
+Headline: one FULL middle AES round on the bit-sliced Walsh pipeline
+(ops/bitplane.py) — SubBytes with the round key folded into the Walsh
+coefficients + ShiftRows + MixColumns + sign-cleanse — jitted as ONE XLA
+program over the whole SIMD batch (slot_count/16 AES blocks; 4096 at the
+default N=2^16, i.e. 2x the reference's "2K blocks per ciphertext" claim
+because bit-planes hold one byte per slot, /root/reference/README.md:29).
 
-vs_baseline: the reference publishes no numbers (BASELINE.md: README TOC stub
-only; its CPU AddRoundKey was measured-but-unrecorded, its 256x256 XOR OOMs).
-The recorded ratio is therefore this framework's TPU throughput over its own
-CPU throughput on identical parameters -- the honest measurable proxy.
+vs_baseline: the reference publishes no numbers (BASELINE.md: README TOC
+stub only; its CPU AddRoundKey was measured-but-unrecorded, its 256x256 XOR
+OOMs).  The recorded ratio is therefore this framework's TPU throughput over
+its own CPU throughput on identical parameters — the honest measurable proxy.
 
 Env knobs:
   AESFHE_BENCH_LOGN     ring exponent (default 16)
-  AESFHE_BENCH_LEVELS   depth (default 16)
+  AESFHE_BENCH_LEVELS   depth (default 16; one bit-sliced round fits)
   AESFHE_BENCH_ITERS    timed iterations (default 3)
+  AESFHE_BENCH_MODE     "bitplane" (default) | "zeta" (ARK+SubBytes step on
+                        the reference-style zeta nibble-pair pipeline)
   AESFHE_BENCH_SKIP_CPU skip CPU baseline leg (vs_baseline = 0)
 """
 import json
@@ -31,29 +33,72 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
 
+MODE = os.environ.get("AESFHE_BENCH_MODE", "bitplane")
 
-def _setup(logn: int, levels: int):
+
+def _common(logn: int, levels: int):
     import jax
-    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax")
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("AESFHE_JAX_CACHE", "/root/.cache/jax"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     from aesfhe_tpu.core.params import CKKSParams
     from aesfhe_tpu.core import keys as keys_mod
     from aesfhe_tpu.context import EngineContext
-    from aesfhe_tpu.ops.xor_service import (EngineWrapper, XORService,
-                                            CoefficientCache)
-    from aesfhe_tpu.ops.mixcolumns_service import AESFHETransformer, NibblePair
-    from aesfhe_tpu.ops.zeta import ZetaEncoder, split_nibbles
-    from aesfhe_tpu.coeffs.generate import COEFF_DIR
-
+    from aesfhe_tpu.ops.xor_service import EngineWrapper
     keys_mod.seed_keygen(0)
-    params = CKKSParams(n=1 << logn, max_level=levels, scale_bits=26,
+    params = CKKSParams(n=1 << logn, max_level=levels, scale_bits=28,
                         num_special_primes=4)
     ctx = EngineContext(params=params)
     wrap = EngineWrapper(ctx=ctx)
+    return params, ctx, wrap
+
+
+def _setup_bitplane(logn: int, levels: int):
+    """One full middle AES round on the bit-sliced pipeline, single jit."""
+    import jax
+    from aesfhe_tpu.core.ciphertext import Ciphertext
+    from aesfhe_tpu.ops.bitplane import BitSliceService, BitState
+    from aesfhe_tpu.keyexp import expand_key_128
+
+    params, ctx, wrap = _common(logn, levels)
+    svc = BitSliceService(wrap)
+    sc = params.slot_count
+    rng = np.random.default_rng(0)
+    state = rng.integers(0, 256, sc, dtype=np.uint8)
+    rk = expand_key_128(bytes(range(16)))[1]
+    st0 = svc.encrypt_state(state)
+
+    # per-op dispatch: every engine primitive is itself jitted with
+    # DeviceTables/keys as ARGS (an outer jit would capture the big tables
+    # as program constants -- slow upload / HTTP 413 through the relay)
+    def round_fn(st):
+        st = svc.sub_bytes(st, round_key=rk)
+        st = svc.shift_rows(st)
+        st = svc.mix_columns(st)
+        return svc.cleanse(st)
+
+    def step(st):
+        out = round_fn(st)
+        return tuple(b.data for b in out.bits)
+
+    blocks = sc // 16
+    return step, (st0,), blocks
+
+
+def _setup_zeta(logn: int, levels: int):
+    """Reference-style nibble-pair ARK+SubBytes step (legacy headline)."""
+    import jax
+    from aesfhe_tpu.core.ciphertext import Ciphertext
+    from aesfhe_tpu.ops.xor_service import XORService, CoefficientCache
+    from aesfhe_tpu.ops.mixcolumns_service import AESFHETransformer
+    from aesfhe_tpu.ops.zeta import ZetaEncoder, split_nibbles
+    from aesfhe_tpu.coeffs.generate import COEFF_DIR
+
+    params, ctx, wrap = _common(logn, levels)
     xor_svc = XORService(wrap)
     tf = AESFHETransformer(wrap, xor_svc)
-    hi2d = CoefficientCache(COEFF_DIR / "sbox_hi2d_coeffs.json")
-    lo2d = CoefficientCache(COEFF_DIR / "sbox_lo2d_coeffs.json")
+    hi2d = CoefficientCache(COEFF_DIR / "sbox_hi2d_coeffs.json").load_coeffs()
+    lo2d = CoefficientCache(COEFF_DIR / "sbox_lo2d_coeffs.json").load_coeffs()
     sc = params.slot_count
     rng = np.random.default_rng(0)
     state = rng.integers(0, 256, sc, dtype=np.uint8)
@@ -62,30 +107,34 @@ def _setup(logn: int, levels: int):
     s_hi, s_lo = split_nibbles(state)
     ct_hi = ctx.encrypt(ZetaEncoder.to_zeta(s_hi, 16))
     ct_lo = ctx.encrypt(ZetaEncoder.to_zeta(s_lo, 16))
+    scale = float(ct_hi.scale)
 
-    def round_step(hi, lo):
+    def step(hi, lo):
         hi = xor_svc._xor_with_plain_nibbles(hi, k_hi)
         lo = xor_svc._xor_with_plain_nibbles(lo, k_lo)
         bh = xor_svc._build_power_basis(hi)
         bl = xor_svc._build_power_basis(lo)
-        out_hi = tf._bilinear(bh, bl, hi2d.load_coeffs())
-        out_lo = tf._bilinear(bh, bl, lo2d.load_coeffs())
-        return out_hi, out_lo
+        out_hi = tf._bilinear(bh, bl, hi2d)
+        out_lo = tf._bilinear(bh, bl, lo2d)
+        return out_hi.data, out_lo.data
 
-    return round_step, (ct_hi, ct_lo), params, ctx
+    return step, (ct_hi, ct_lo), sc // 16
 
 
 def run_leg(logn: int, levels: int, iters: int) -> float:
     import jax
-    step, (ct_hi, ct_lo), params, ctx = _setup(logn, levels)
-    out = step(ct_hi, ct_lo)                     # warm: compiles each op once
-    jax.block_until_ready((out[0].data, out[1].data))
+    setup = _setup_bitplane if MODE == "bitplane" else _setup_zeta
+    step, args, blocks = setup(logn, levels)
+    out = step(*args)                         # warm: compile once
+    jax.block_until_ready(out)
+    _ = np.asarray(jax.tree_util.tree_leaves(out)[0][..., :1])  # force fetch
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = step(ct_hi, ct_lo)
-    jax.block_until_ready((out[0].data, out[1].data))
+        out = step(*args)
+    jax.block_until_ready(out)
+    _ = np.asarray(jax.tree_util.tree_leaves(out)[0][..., :1])
     dt = (time.perf_counter() - t0) / iters
-    return (params.slot_count // 16) / dt
+    return blocks / dt
 
 
 def main():
@@ -95,7 +144,7 @@ def main():
     device_bps = run_leg(logn, levels, iters)
     vs = 0.0
     if not os.environ.get("AESFHE_BENCH_SKIP_CPU"):
-        cache = f"/root/.cache/aesfhe_cpu_leg_{logn}_{levels}.json"
+        cache = (f"/root/.cache/aesfhe_cpu_leg_{MODE}_{logn}_{levels}.json")
         cpu_bps = None
         if os.path.exists(cache):
             try:
@@ -119,10 +168,15 @@ def main():
                 cpu_bps = None
         vs = device_bps / cpu_bps if cpu_bps else 0.0
     blocks = (1 << logn) // 32
+    unit = ("AES blocks/s (full bit-sliced round, "
+            f"{2 * blocks}-block SIMD batch)" if MODE == "bitplane" else
+            f"AES blocks/s ({blocks}-block SIMD ARK+SubBytes step)")
+    metric = ("aes_fhe_full_round_blocks_per_s" if MODE == "bitplane" else
+              "aes_fhe_ark_subbytes_round_step_blocks_per_s")
     print(json.dumps({
-        "metric": "aes_fhe_ark_subbytes_round_step_blocks_per_s",
+        "metric": metric,
         "value": round(device_bps, 3),
-        "unit": f"AES blocks/s ({blocks}-block SIMD ARK+SubBytes step)",
+        "unit": unit,
         "vs_baseline": round(vs, 3),
     }))
 

@@ -21,7 +21,8 @@ jax.config.update("jax_platforms",
                   os.environ.get("AESFHE_TEST_PLATFORM", "cpu"))
 # persistent compile cache: the op set is stable across runs, so reruns skip
 # XLA compilation (the dominant cost of a cold suite on the 2-CPU host)
-jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax")
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("AESFHE_JAX_CACHE", "/root/.cache/jax"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 

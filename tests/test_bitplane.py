@@ -129,6 +129,26 @@ def test_two_rounds_vs_fips(bit_env):
     assert np.array_equal(got, want)
 
 
+@pytest.mark.big
+def test_full_aes128_bitsliced_fips197():
+    """All 10 rounds on the bit-sliced pipeline with real CKKS bootstrap
+    refreshes: FIPS-197 appendix C.1 vector, SIMD-tiled across all slots.
+    One refresh sustains a full 13-level round on the boot_tiny chain."""
+    from aesfhe_tpu.ops.xor_service import XORConfig
+    from aesfhe_tpu.pipeline import AESFHE128Bitsliced
+    cfg = XORConfig(profile="boot_tiny", use_bootstrap=True)
+    wrap = EngineWrapper(cfg)
+    aes = AESFHE128Bitsliced(wrap, KEY, refresh=wrap.bootstrap)
+    sc = wrap.engine.slot_count
+    pt = bytes.fromhex("00112233445566778899aabbccddeeff")
+    want_ct = bytes.fromhex("69c4e0d86a7b0430d8cdb78070b4c55a")
+    state = np.tile(np.frombuffer(pt, dtype=np.uint8), sc // 16)
+    out = aes.encrypt_rounds(aes.encrypt_state(state), rounds=10)
+    got = aes.decrypt_state(out)
+    want = np.tile(np.frombuffer(want_ct, dtype=np.uint8), sc // 16)
+    assert np.array_equal(got, want)
+
+
 def test_inverse_cipher_round(bit_env):
     wrap, svc, state = bit_env
     sc = wrap.engine.slot_count

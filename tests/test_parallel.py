@@ -3,12 +3,76 @@ sets xla_force_host_platform_device_count=8): slot-batch DP x RNS-limb
 sharding of a real homomorphic circuit."""
 import numpy as np
 import jax
+import jax.numpy as jnp
 import pytest
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from aesfhe_tpu.parallel import mesh as mesh_mod
 from aesfhe_tpu.core.ciphertext import Ciphertext
 from aesfhe_tpu.ops.zeta import ZetaEncoder
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs 4 virtual devices")
+def test_dist_ntt_bit_exact(tiny_engine):
+    """Sharded 4-step NTT (one all-to-all between matmul phases) is
+    bit-identical to the single-device transform, fwd and inv."""
+    from jax.sharding import Mesh
+    from aesfhe_tpu.parallel.dist_ntt import DistNTT
+    from aesfhe_tpu.core import ops_impl
+
+    eng = tiny_engine["eng"]
+    params = eng.params
+    mesh = Mesh(np.asarray(jax.devices()[:4]), ("limb",))
+    d = DistNTT(params, mesh, axis="limb")
+    nrows = params.num_q
+    rng = np.random.default_rng(3)
+    x = np.stack([rng.integers(0, int(q), params.n, dtype=np.uint32)
+                  for q in params.q_primes[:nrows]])
+
+    tr = ops_impl._tabs_rows(eng.tabs,
+                             np.arange(nrows, dtype=np.int32))
+    want = np.asarray(ops_impl.ntt_rows(jnp.asarray(x), tr))
+
+    got = np.asarray(d.unpack_eval(d.fwd(d.pack(jnp.asarray(x)))))
+    assert np.array_equal(got, want)
+
+    back = np.asarray(d.inv(d.fwd(d.pack(jnp.asarray(x))))).reshape(x.shape)
+    assert np.array_equal(back, x)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs 4 virtual devices")
+def test_dist_keyswitch_bit_exact(tiny_engine):
+    """Digit-sharded collective key-switch (psum all-reduce) matches the
+    local hybrid key-switch bit-for-bit."""
+    from jax.sharding import Mesh
+    from aesfhe_tpu.parallel.dist_keyswitch import DistKeySwitch
+    from aesfhe_tpu.core import ops_impl
+    from aesfhe_tpu.ops.zeta import ZetaEncoder
+
+    E = tiny_engine
+    eng = E["eng"]
+    params = eng.params
+    mesh = Mesh(np.asarray(jax.devices()[:4]), ("limb",))
+    dks = DistKeySwitch(params, eng.tabs, mesh, axis="limb")
+
+    rng = np.random.default_rng(5)
+    vals = rng.integers(0, 16, eng.slot_count, dtype=np.uint8)
+    ct = eng.encrypt(ZetaEncoder.to_zeta(vals, 16), E["pk"])
+    rlk = E["rlk"]
+    c1 = ct.data[1]
+
+    want_b, want_a = ops_impl.keyswitch(params, eng.tabs, c1, rlk.b, rlk.a)
+    got_b, got_a = dks(c1, rlk)
+    assert np.array_equal(np.asarray(got_b), np.asarray(want_b))
+    assert np.array_equal(np.asarray(got_a), np.asarray(want_a))
+
+    # and at a lower level (different digit count / table shapes)
+    low = eng._drop(ct, 3)
+    c1l = low.data[1]
+    want_b, want_a = ops_impl.keyswitch(params, eng.tabs, c1l, rlk.b, rlk.a)
+    got_b, got_a = dks(c1l, rlk)
+    assert np.array_equal(np.asarray(got_b), np.asarray(want_b))
+    assert np.array_equal(np.asarray(got_a), np.asarray(want_a))
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
