@@ -134,6 +134,22 @@ class Engine:
         self.counters = {k: 0 for k in
                          ("ct_mul", "pt_mul", "scalar_mul", "add", "rescale",
                           "keyswitch", "rotate", "conjugate", "bootstrap")}
+        # device-resident caches: Galois slot permutations and trivial
+        # (noise-free constant) ciphertexts.  Both are deterministic and
+        # reused every round; re-materializing them per call costs a
+        # host->device upload each through a remote-device relay.
+        self._perm_cache: dict[int, jnp.ndarray] = {}
+        self._trivial_cache: dict = {}
+
+    def _perm_dev(self, g: int) -> jnp.ndarray:
+        p = self._perm_cache.get(g)
+        if p is None:
+            p = jnp.asarray(self.params.galois_perm(g))
+            # under an abstract trace (eval_shape/jit) constants may be
+            # tracers -- caching one would leak it out of the trace
+            if not isinstance(p, jax.core.Tracer):
+                self._perm_cache[g] = p
+        return p
 
     def reset_counters(self):
         for k in self.counters:
@@ -413,6 +429,18 @@ class Engine:
     def multiply_plain(self, ct: Ciphertext, val) -> Ciphertext:
         return self._mul_ct_pt(ct, val)
 
+    def multiply_i(self, ct: Ciphertext) -> Ciphertext:
+        """Exact slot-wise multiply by the imaginary unit: zeta4 is an exact
+        4th root of unity mod every prime, so i is encoded at scale 1 with
+        ZERO rounding error -- no rescale, no level, no noise growth.  Used
+        to pack two real ciphertexts onto one complex chain (a + i*b), e.g.
+        pair-packed bootstrap of bit-planes."""
+        self._count("scalar_mul")
+        consts = self._scalar_mul_consts(1j, 1.0, ct.level, mont=False)
+        data = ops_impl.ct_mul_scalar_pt(self.params, self.tabs, ct.data,
+                                         consts)
+        return Ciphertext(data, ct.scale)
+
     def multiply_renorm(self, ct: Ciphertext, value: complex,
                         target_scale: float | None = None) -> Ciphertext:
         """Scalar multiply whose encode scale is chosen so the rescaled
@@ -488,7 +516,7 @@ class Engine:
             if g not in rot_keys.keys:
                 raise KeyError(f"no rotation key for step {s}")
             key = rot_keys.keys[g]
-            perm = jnp.asarray(self.params.galois_perm(g))
+            perm = self._perm_dev(g)
             data = ops_impl.hoisted_rotate(self.params, self.tabs, ct.data,
                                            d_eval, perm, key.b, key.a)
             self._count("keyswitch")
@@ -504,7 +532,7 @@ class Engine:
         self._count("keyswitch")
         self._count("conjugate" if g == self.params.conj_galois_elt
                     else "rotate")
-        perm = jnp.asarray(self.params.galois_perm(g))
+        perm = self._perm_dev(g)
         data = _rotate_core(self.params, self.tabs, ct.data, perm,
                             key.b, key.a)
         return Ciphertext(data, ct.scale)
@@ -570,9 +598,20 @@ class Engine:
         """Noise-free trivial ciphertext (b=encode(val), a=0): decrypts to
         `val` under any secret key.  Lets constant terms ride fused
         reductions (inner_product/linear_combination) uniformly instead of
-        special-casing them."""
+        special-casing them.  Scalar values are cached per (val, level,
+        scale): circuits rebuild the same trivial constants every call."""
         if np.isscalar(val):
-            val = np.full(self.params.slot_count, complex(val))
+            ck = (complex(val), level, scale)
+            hit = self._trivial_cache.get(ck)
+            if hit is not None:
+                return hit
+            pt = self.encode(np.full(self.params.slot_count, complex(val)),
+                             level=level, scale=scale)
+            z = jnp.zeros_like(pt.data)
+            out = Ciphertext(jnp.stack([pt.data, z]), pt.scale)
+            if not isinstance(out.data, jax.core.Tracer):
+                self._trivial_cache[ck] = out
+            return out
         pt = self.encode(val, level=level, scale=scale)
         z = jnp.zeros_like(pt.data)
         return Ciphertext(jnp.stack([pt.data, z]), pt.scale)
@@ -581,7 +620,8 @@ class Engine:
     def linear_combination(self, cts: Sequence[Ciphertext],
                            coeffs: Sequence[complex],
                            constant: complex = 0.0,
-                           coeff_scale: float | None = None) -> Ciphertext:
+                           coeff_scale: float | None = None,
+                           target_scale: float | None = None) -> Ciphertext:
         """sum_k coeffs[k] * cts[k] (+ constant), with ONE rescale total.
 
         The reference evaluates LUT sums as per-term multiply+add engine
@@ -601,6 +641,15 @@ class Engine:
         multiplicative scale drift without a dedicated level -- see
         DESIGN_NOTES "lazy-rescale / scale-targeted combo").  Only valid for
         pure-scalar combinations.
+
+        `target_scale` is the convenient form: the coefficient encode scale
+        is derived AFTER input alignment so the rescaled output lands on
+        exactly this scale.  Squaring chains (cleanse, power ladders) drift
+        the tracked scale multiplicatively (s -> s^2/q per level); without a
+        reset the drift compounds -- a double-cleansed bootstrap output once
+        reached 0.04*Delta, putting every later LUT 25x closer to the noise
+        floor (the r2 SubBytes=garbage bug).  Only valid for pure-scalar
+        combinations.
         """
         dense_pairs = []
         scalar_list = []
@@ -613,10 +662,11 @@ class Engine:
             else:
                 scalar_list.append((ct, complex(c)))
         if dense_pairs:
-            assert coeff_scale is None, (
-                "coeff_scale requires all-scalar coefficients")
+            assert coeff_scale is None and target_scale is None, (
+                "coeff_scale/target_scale require all-scalar coefficients")
             return self._linear_combination_mixed(dense_pairs, scalar_list,
                                                   constant)
+        assert coeff_scale is None or target_scale is None
         target = self.params.scale if coeff_scale is None else coeff_scale
         pairs = [(ct, complex(c)) for ct, c in zip(cts, coeffs) if c != 0]
         if not pairs:
@@ -639,16 +689,21 @@ class Engine:
                 redo = True
                 break
         if redo:
-            target = min(ct.scale for ct in aligned)
+            align_to = min(ct.scale for ct in aligned)
             tmp = []
             for ct in aligned:
-                if abs(ct.scale - target) / target > _SCALE_TOL:
-                    ct = self._adjust_scale(ct, target)
+                if abs(ct.scale - align_to) / align_to > _SCALE_TOL:
+                    ct = self._adjust_scale(ct, align_to)
                 tmp.append(ct)
             lvl = min(ct.level for ct in tmp)
             aligned = [self._drop(ct, lvl) for ct in tmp]
-            base_scale = target
+            base_scale = align_to
         self._check_levels(lvl)
+        if target_scale is not None:
+            qd = 1.0
+            for i in range(self.params.rescale_primes):
+                qd *= float(self.params.q_primes[lvl - i])
+            target = target_scale * qd / base_scale
         deg = max(ct.degree for ct in aligned)
         datas = []
         for ct in aligned:

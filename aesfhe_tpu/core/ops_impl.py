@@ -127,6 +127,7 @@ def ct_negate(params: CKKSParams, tabs: DeviceTables, a):
 
 
 @functools.partial(jax.jit, static_argnums=0)
+@jax.named_scope("ckks.tensor")
 def ct_tensor(params: CKKSParams, tabs: DeviceTables, a, b):
     """Degree-1 x degree-1 tensor product -> degree-2 data [3, l+1, N]."""
     level = a.shape[1] - 1
@@ -195,6 +196,7 @@ def ct_add_scalar_pt(params: CKKSParams, tabs: DeviceTables, a, consts_mont):
 
 
 @functools.partial(jax.jit, static_argnums=0)
+@jax.named_scope("ckks.linear_combo")
 def ct_linear_combo(params: CKKSParams, tabs: DeviceTables, stack, consts):
     """sum_k stack[k] * scalar_pt(consts[k]) -- fused LUT-sum kernel.
 
@@ -222,6 +224,7 @@ def ct_linear_combo(params: CKKSParams, tabs: DeviceTables, stack, consts):
 
 
 @functools.partial(jax.jit, static_argnums=0)
+@jax.named_scope("ckks.linear_combo_dense")
 def ct_linear_combo_dense(params: CKKSParams, tabs: DeviceTables, stack, pts):
     """sum_k stack[k] * dense_pt[k] -- vector-coefficient LUT-sum kernel.
 
@@ -244,6 +247,7 @@ def ct_linear_combo_dense(params: CKKSParams, tabs: DeviceTables, stack, pts):
 
 
 @functools.partial(jax.jit, static_argnums=0)
+@jax.named_scope("ckks.tensor_sum")
 def ct_tensor_sum(params: CKKSParams, tabs: DeviceTables, a_stack, b_stack):
     """sum_k tensor(a[k], b[k]) -> degree-2 data [3, l+1, N].
 
@@ -271,6 +275,7 @@ def ct_tensor_sum(params: CKKSParams, tabs: DeviceTables, a_stack, b_stack):
 
 
 @functools.partial(jax.jit, static_argnums=0)
+@jax.named_scope("ckks.automorphism")
 def ct_automorphism(params: CKKSParams, tabs: DeviceTables, a, perm):
     """Apply Galois automorphism as an eval-domain gather; perm int32 [N]."""
     return a[..., perm]
@@ -281,6 +286,7 @@ def ct_automorphism(params: CKKSParams, tabs: DeviceTables, a, perm):
 # ---------------------------------------------------------------------------
 
 @functools.partial(jax.jit, static_argnums=0)
+@jax.named_scope("ckks.rescale")
 def ct_rescale(params: CKKSParams, tabs: DeviceTables, a):
     """Drop top prime q_l; out[i] = (a[i] - lift(a[l])) / q_l mod q_i.
 
@@ -332,6 +338,7 @@ def ct_drop_to(params: CKKSParams, a, target_level: int):
 
 
 @functools.partial(jax.jit, static_argnums=0)
+@jax.named_scope("ckks.mod_raise")
 def mod_raise_core(params: CKKSParams, tabs: DeviceTables, a):
     """Bootstrap ModRaise: [k, 1, N] over q0 -> [k, num_q, N] over the full
     chain, by centered-lifting the bottom-prime coefficients into every
@@ -361,6 +368,7 @@ def mod_raise_core(params: CKKSParams, tabs: DeviceTables, a):
 # ---------------------------------------------------------------------------
 
 @functools.partial(jax.jit, static_argnums=0)
+@jax.named_scope("ckks.ks_decompose")
 def ks_decompose(params: CKKSParams, tabs: DeviceTables, c_eval):
     """Digit-decompose + basis-extend + NTT a polynomial for key switching.
 
@@ -406,6 +414,7 @@ def ks_decompose(params: CKKSParams, tabs: DeviceTables, c_eval):
 
 
 @functools.partial(jax.jit, static_argnums=0)
+@jax.named_scope("ckks.ks_inner_moddown")
 def ks_inner_and_moddown(params: CKKSParams, tabs: DeviceTables, d_eval,
                          key_b, key_a):
     """Inner product of extended digits with a switch key + P mod-down."""
@@ -429,6 +438,7 @@ def ks_inner_and_moddown(params: CKKSParams, tabs: DeviceTables, d_eval,
 
 
 @functools.partial(jax.jit, static_argnums=0)
+@jax.named_scope("ckks.hoisted_rotate")
 def hoisted_rotate(params: CKKSParams, tabs: DeviceTables, data, d_eval,
                    perm, key_b, key_a):
     """Apply one Galois rotation given the SHARED decomposition d_eval of c1.
@@ -448,6 +458,7 @@ def hoisted_rotate(params: CKKSParams, tabs: DeviceTables, data, d_eval,
 
 
 @functools.partial(jax.jit, static_argnums=0)
+@jax.named_scope("ckks.keyswitch")
 def keyswitch(params: CKKSParams, tabs: DeviceTables, c_eval, key_b, key_a):
     """Switch a single polynomial c (under s') to a pair under s.
 

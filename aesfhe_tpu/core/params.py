@@ -276,8 +276,16 @@ _PROFILES = dict(
     hp=dict(n=1 << 12, max_level=14, scale_bits=52, num_special_primes=3),
     prod=dict(n=1 << 16, max_level=35, scale_bits=27, num_special_primes=6),
     # boot_tiny: small insecure ring with bootstrap-capable chain (sparse
-    # secret, q0 >> Delta for EvalMod's sine range) -- CI-scale refresh tests
-    boot_tiny=dict(n=1 << 9, max_level=48, scale_bits=27,
+    # secret, q0 >> Delta for EvalMod's sine range) -- CI-scale refresh
+    # tests.  82 levels: the bootstrap chain consumes ~25, each zeta refresh
+    # is followed by FOUR root-of-unity cleanses (28 levels; measured
+    # convergence of the EvalMod residual: 0.034 -> 0.0085 -> 6e-4 -> 3e-6,
+    # scripts/debug_boot_q0.py -- the first cleanse sits at its m*e^2
+    # convergence boundary, and the merged shift-mix's WORST-CASE LUT gain
+    # is ~2e3, so the refreshed error must reach ~1e-5), and the deepest
+    # round segment (merged shift-mix, 23 levels + headroom) must still
+    # fit: 82-25-28 = 29 >= 25
+    boot_tiny=dict(n=1 << 9, max_level=82, scale_bits=27,
                    first_prime_bits=30, num_special_primes=4,
                    secret_hamming=16),
     # prod_boot: full-size bootstrappable chain; logQP = 30 + 54*27 + 8*30

@@ -146,6 +146,18 @@ class BitSliceService:
         eng_wrap.ensure_rotation_steps(
             [1, 2, 3, -1, -2, -3, 4, 8, 12, -4, -8, -12])
 
+    # -- cached dense plaintexts --------------------------------------------
+    def _cached_pt(self, key, vec: np.ndarray):
+        """Encode a dense weight vector ONCE (top level, scale Delta) and
+        reuse it at every level (multiply/combination slice pt.data rows).
+        Raw numpy weights would be host-FFT-encoded and re-uploaded on every
+        call -- the dominant cost of the round on a remote device."""
+        pt = self._pt_cache.get(key)
+        if pt is None:
+            pt = self.eng.engine.encode(np.asarray(vec, dtype=np.float64))
+            self._pt_cache[key] = pt
+        return pt
+
     # -- encode / decode ---------------------------------------------------
     def encrypt_state(self, state_bytes: np.ndarray) -> BitState:
         b = np.asarray(state_bytes, dtype=np.uint8)
@@ -225,10 +237,12 @@ class BitSliceService:
         """All 8 output planes from two shared character bases via hoisted
         inner products: out_k = sum_{u,v} W[k][u,v] A_u B_v.
 
-        With `round_key` given, evaluates SBOX[x ^ rk] at zero extra cost:
+        With `round_key` given, evaluates SBOX[x ^ rk] at zero extra DEPTH:
         chi_{uv}(x ^ rk) = chi_{uv}(x) chi_{uv}(rk), so the key only flips
-        coefficient signs -- per-slot dense weights in the B-combos (the
-        fold that makes AddRoundKey free mid-pipeline)."""
+        coefficient signs -- per-slot dense weights in the B-combos.  NB the
+        fold trades 1 level for 256 dense weight vectors per call (host
+        encode + device upload each); on a remote device prefer the cached
+        xor_plain + keyless sub_bytes (pipeline.AESFHE128Bitsliced)."""
         eng = self.eng.engine
         rlk = self.eng.relin_key
         W = self._W[inverse]
@@ -290,6 +304,8 @@ class BitSliceService:
         rot_keys = self.eng.rot_key
         variants = self._sr_variants(inverse)
         steps = sorted({s % self.sc for s, _ in variants})
+        fold_b = (bytes(np.asarray(fold_key, dtype=np.uint8))
+                  if fold_key is not None else None)
         out = []
         for k in range(8):
             rots = eng.hoisted_rotations(st.bits[k], rot_keys, steps)
@@ -297,9 +313,12 @@ class BitSliceService:
             cts, weights = [], []
             sign = (self._key_signs(fold_key, k)
                     if fold_key is not None else 1.0)
-            for s, mask in variants:
+            for vi, (s, mask) in enumerate(variants):
                 cts.append(by_step[s % self.sc])
-                weights.append(mask.astype(np.float64) * sign)
+                ck = (("srf", inverse, vi, fold_b, k) if fold_b is not None
+                      else ("sr", inverse, vi))
+                weights.append(self._cached_pt(
+                    ck, mask.astype(np.float64) * sign))
             out.append(eng.linear_combination(cts, weights))
         return BitState(out)
 
@@ -350,7 +369,9 @@ class BitSliceService:
             steps = sorted(steps)
             rots = eng.hoisted_rotations(st.bits[kp], rot_keys, steps)
             rotated[kp] = dict(zip(steps, rots))
-        row_masks = [(self._row == r).astype(np.float64) for r in range(4)]
+        row_masks = [self._cached_pt(("row", r),
+                                     (self._row == r).astype(np.float64))
+                     for r in range(4)]
         out = []
         for k in range(8):
             factors = []

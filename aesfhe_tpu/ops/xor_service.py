@@ -160,8 +160,10 @@ class EngineWrapper:
             self.rot_key.keys.update(fixed.keys)
 
     # TPU-first fused reductions, exposed for the services
-    def linear_combination(self, cts, coeffs, constant=0.0):
-        return self.engine.linear_combination(cts, coeffs, constant)
+    def linear_combination(self, cts, coeffs, constant=0.0,
+                           target_scale=None):
+        return self.engine.linear_combination(cts, coeffs, constant,
+                                              target_scale=target_scale)
 
     def inner_product(self, lhs, rhs):
         return self.engine.inner_product(lhs, rhs, self.relin_key)
@@ -382,7 +384,14 @@ class XORService:
         z16 = eng.multiply(z8, z8)
         z17 = eng.multiply(z16, ct)
         m = float(modulus)
-        return eng.linear_combination([ct, z17], [(m + 1) / m, -1.0 / m])
+        # scale-target the combine back to exactly Delta: the squaring chain
+        # drifts the tracked scale multiplicatively (s -> s^2/q per level),
+        # and repeated cleanses (e.g. after bootstrap) would compound the
+        # drift until later LUTs sit orders of magnitude closer to the noise
+        # floor
+        return eng.linear_combination(
+            [ct, z17], [(m + 1) / m, -1.0 / m],
+            target_scale=self.eng_wrap.engine.params.scale)
 
     def lift_lo(self, lo16_ct: Ciphertext) -> Ciphertext:
         """zeta16^l -> zeta256^l via the 16-point lo_lift LUT (TPU build's

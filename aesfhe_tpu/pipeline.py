@@ -120,26 +120,36 @@ class AESFHE128:
 
     # multiplicative-depth cost of each round op (rescale units), used to
     # refresh *before* an op would exhaust the chain -- the generalization of
-    # the reference's level<8 trigger (/root/reference/xor_service.py:274-277)
-    SUB_DEPTH = 8
-    MIX_DEPTH = 20
-    ARK_DEPTH = 7
+    # the reference's level<8 trigger (/root/reference/xor_service.py:274-277).
+    # Measured per stage on the deep profile (scripts/debug_round_noise.py):
+    # ARK 48->43, SubBytes+cleanse 43->29, merged shift-mix 29->6
+    SUB_DEPTH = 14
+    MIX_DEPTH = 23
+    ARK_DEPTH = 5
+    POST_BOOT_CLEANSES = 4
 
     def _refresh(self, pair: NibblePair, need: int) -> NibblePair:
         """Bootstrap both nibbles if fewer than `need` depth units remain.
         `refresh` is any Ciphertext->Ciphertext rejuvenator -- engine
         bootstrap via EngineWrapper.bootstrap, or a recrypt oracle in tests.
-        A root-of-unity cleanse follows each real bootstrap: EvalMod noise
-        (~1e-2 on zeta16 phases) would otherwise be amplified past the
-        decode margin by the next LUT's power basis."""
+        FOUR root-of-unity cleanses follow each real bootstrap: EvalMod
+        leaves ~0.03 absolute on the zeta16 circle -- at the cleanse's
+        m*e^2 convergence boundary, so the measured ladder is 0.034 ->
+        0.0085 -> 6e-4 -> 3e-6 (scripts/debug_boot_q0.py) -- and the merged
+        shift-mix's WORST-CASE LUT gain is ~2e3 (typical ~250x), so the
+        refreshed error must reach ~1e-5 before the next segment."""
         if self.refresh is None:
             return pair
         r = self.eng.engine.params.rescale_primes
         hi, lo = pair.hi, pair.lo
         if hi.level < need * r + 2:
-            hi = self.xor.cleanse(self.refresh(hi))
+            hi = self.refresh(hi)
+            for _ in range(self.POST_BOOT_CLEANSES):
+                hi = self.xor.cleanse(hi)
         if lo.level < need * r + 2:
-            lo = self.xor.cleanse(self.refresh(lo))
+            lo = self.refresh(lo)
+            for _ in range(self.POST_BOOT_CLEANSES):
+                lo = self.xor.cleanse(lo)
         return NibblePair(hi, lo)
 
     # ------------------------------------------------------------------
@@ -189,15 +199,20 @@ class AESFHE128:
 class AESFHE128Bitsliced:
     """Full AES-128 on the bit-sliced Walsh pipeline (ops/bitplane.py).
 
-    One middle round = SubBytes-with-folded-AddRoundKey (4 levels) +
-    ShiftRows (1) + MixColumns (4-5) + sign-cleanse (3) ~= 13 levels --
-    3.6x shallower than the zeta nibble-pair pipeline's ~47, so two rounds
-    fit between bootstraps on the production chain instead of three
-    refreshes per round.  AddRoundKey costs ZERO levels mid-pipeline (folded
-    into SubBytes' Walsh coefficients; the final round folds it into the
-    ShiftRows mask weights)."""
+    One middle round = AddRoundKey (1 level; 8 cached plaintext multiplies)
+    + SubBytes (4) + ShiftRows (1) + MixColumns (4-5) + sign-cleanse (3)
+    ~= 14 levels -- 3.4x shallower than the zeta nibble-pair pipeline's ~47.
+    The final round folds its AddRoundKey into the ShiftRows mask weights
+    (cached per key) for free.
 
-    ROUND_DEPTH = 13          # rescale units consumed by one middle round
+    AddRoundKey runs as explicit xor_plain rather than the Walsh-coefficient
+    fold (sub_bytes(round_key=...)): the fold saves its 1 level but needs
+    256 per-slot dense weight vectors per round, each host-encoded and
+    re-uploaded per call -- on a remote TPU that traffic dominates the whole
+    round, while xor_plain's 8 sign plaintexts are encoded once per key and
+    sliced at every level."""
+
+    ROUND_DEPTH = 14          # rescale units consumed by one middle round
 
     def __init__(self, eng_wrap: EngineWrapper, key: bytes | np.ndarray,
                  refresh: Optional[Callable[[Ciphertext], Ciphertext]] = None):
@@ -214,38 +229,87 @@ class AESFHE128Bitsliced:
         return self.svc.decrypt_state(st)
 
     def _refresh(self, st, need_levels: int):
-        """Bootstrap every plane sitting below the needed depth, then
-        sign-cleanse (EvalMod noise ~1e-2 must be squashed below the
-        round's noise fixed point before the Walsh combine amplifies it)."""
+        """Pair-packed bootstrap: planes are REAL (+-1), so two planes ride
+        ONE complex bootstrap as p0 + i*p1 (the i-multiply is exact via the
+        per-prime zeta4 root: no level, no noise).  4 bootstraps instead of
+        8 -- bootstrap dominates the 10-round wall-clock.  Unpacking is one
+        conjugation + two fused 2-term combines per pair; the sign-cleanse
+        that follows squashes EvalMod noise below the round's fixed point
+        before the Walsh combine amplifies it."""
         if self.refresh is None:
             return st
         from .ops.bitplane import BitState
-        r = self.eng.engine.params.rescale_primes
+        eng = self.eng.engine
+        conj_key = self.eng.conj_key
+        r = eng.params.rescale_primes
         need = need_levels * r + 2
         if min(b.level for b in st.bits) >= need:
             return st
-        st = BitState([self.refresh(b) for b in st.bits])
-        return self.svc.cleanse(st)
+        out = [None] * len(st.bits)
+        for p in range(0, len(st.bits), 2):
+            packed = eng.add(st.bits[p], eng.multiply_i(st.bits[p + 1]))
+            z = self.refresh(packed)
+            zc = eng.conjugate(z, conj_key)
+            out[p] = eng.linear_combination([z, zc], [0.5, 0.5])
+            out[p + 1] = eng.linear_combination([z, zc], [-0.5j, 0.5j])
+        return self.svc.cleanse(BitState(out))
 
-    def encrypt_rounds(self, st, rounds: int = 10):
-        """ARK(rk0) is folded into round 1's SubBytes; each middle round
-        folds ARK(rk_r) into the next round's SubBytes; the final round
-        (r=10) folds it into ShiftRows.  Partial evaluations (rounds < 10)
-        close with an explicit AddRoundKey so the result matches the FIPS
-        oracle prefix (tests/aes_oracle.aes128_partial)."""
+    def encrypt_rounds(self, st, rounds: int = 10,
+                       checkpoint_dir: str | None = None):
+        """FIPS-197 order: ARK(rk_{r-1}) + SubBytes + ShiftRows(+MixColumns)
+        per round; the final round (r=10) folds ARK(rk10) into the ShiftRows
+        mask weights.  Partial evaluations (rounds < 10) close with an
+        explicit AddRoundKey so the result matches the FIPS oracle prefix
+        (tests/aes_oracle.aes128_partial).
+
+        `checkpoint_dir` persists the 8 plane ciphertexts after each round
+        and resumes from the deepest saved round on re-entry -- the
+        checkpoint/resume subsystem the reference lacks entirely
+        (SURVEY.md section 5: keys regenerated and state lost every run)."""
         svc = self.svc
-        for r in range(1, rounds + 1):
+        start = 1
+        if checkpoint_dir:
+            st2, done = self._load_checkpoint(checkpoint_dir, rounds)
+            if done:
+                st, start = st2, done + 1
+        for r in range(start, rounds + 1):
             st = self._refresh(st, self.ROUND_DEPTH)
-            st = svc.sub_bytes(st, round_key=self.round_keys[r - 1])
+            st = svc.xor_plain(st, self.round_keys[r - 1])
+            st = svc.sub_bytes(st)
             if r == 10:
                 st = svc.shift_rows(st, fold_key=self.round_keys[10])
             else:
                 st = svc.shift_rows(st)
                 st = svc.mix_columns(st)
                 st = svc.cleanse(st)
+            if checkpoint_dir:
+                self._save_checkpoint(checkpoint_dir, r, st)
         if rounds < 10:
             st = svc.xor_plain(st, self.round_keys[rounds])
         return st
+
+    # -- per-round checkpoint / resume ------------------------------------
+    @staticmethod
+    def _ckpt_path(checkpoint_dir, r: int, k: int):
+        from pathlib import Path
+        return Path(checkpoint_dir) / f"round{r:02d}_plane{k}.npz"
+
+    def _save_checkpoint(self, checkpoint_dir, r: int, st) -> None:
+        from pathlib import Path
+        from .utils.serialization import save_ciphertext
+        Path(checkpoint_dir).mkdir(parents=True, exist_ok=True)
+        for k, ct in enumerate(st.bits):
+            save_ciphertext(self._ckpt_path(checkpoint_dir, r, k), ct)
+
+    def _load_checkpoint(self, checkpoint_dir, max_round: int):
+        """Deepest complete round <= max_round, or (None, 0)."""
+        from .ops.bitplane import BitState
+        from .utils.serialization import load_ciphertext
+        for r in range(max_round, 0, -1):
+            paths = [self._ckpt_path(checkpoint_dir, r, k) for k in range(8)]
+            if all(p.exists() for p in paths):
+                return BitState([load_ciphertext(p) for p in paths]), r
+        return None, 0
 
     def decrypt_rounds(self, st, rounds: int = 10):
         """Inverse cipher: undo rounds `rounds`..1 then ARK(rk0) (the

@@ -72,7 +72,8 @@ def _setup_bitplane(logn: int, levels: int):
     # DeviceTables/keys as ARGS (an outer jit would capture the big tables
     # as program constants -- slow upload / HTTP 413 through the relay)
     def round_fn(st):
-        st = svc.sub_bytes(st, round_key=rk)
+        st = svc.xor_plain(st, rk)
+        st = svc.sub_bytes(st)
         st = svc.shift_rows(st)
         st = svc.mix_columns(st)
         return svc.cleanse(st)

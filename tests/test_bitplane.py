@@ -129,6 +129,22 @@ def test_two_rounds_vs_fips(bit_env):
     assert np.array_equal(got, want)
 
 
+def test_checkpoint_resume(bit_env, tmp_path):
+    """encrypt_rounds(2) resumed from a round-1 checkpoint equals a straight
+    2-round run (the per-round checkpoint/resume the reference lacks,
+    SURVEY.md section 5)."""
+    wrap, svc, state = bit_env
+    from aesfhe_tpu.pipeline import AESFHE128Bitsliced
+    aes = AESFHE128Bitsliced(wrap, KEY)
+    ck = str(tmp_path / "ckpt")
+    st0 = aes.encrypt_state(state)
+    aes.encrypt_rounds(st0, rounds=1, checkpoint_dir=ck)
+    resumed = aes.encrypt_rounds(st0, rounds=2, checkpoint_dir=ck)
+    direct = aes.encrypt_rounds(st0, rounds=2)
+    assert np.array_equal(aes.decrypt_state(resumed),
+                          aes.decrypt_state(direct))
+
+
 @pytest.mark.big
 def test_full_aes128_bitsliced_fips197():
     """All 10 rounds on the bit-sliced pipeline with real CKKS bootstrap

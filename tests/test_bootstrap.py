@@ -57,6 +57,34 @@ def test_bootstrap_then_compute(boot):
     assert np.max(np.abs(dec - z * z)) < 0.4
 
 
+@pytest.mark.slow
+def test_bootstrap_pair_packed(boot):
+    """Two REAL +-1 planes ride one complex bootstrap as p0 + i*p1 (exact
+    zeta4 i-multiply), then unpack via conjugation — the refresh used by the
+    bit-sliced AES pipeline (pipeline.AESFHE128Bitsliced._refresh)."""
+    eng = boot["eng"]
+    sc = eng.slot_count
+    rng = np.random.default_rng(9)
+    p0 = 1.0 - 2.0 * rng.integers(0, 2, sc).astype(np.float64)
+    p1 = 1.0 - 2.0 * rng.integers(0, 2, sc).astype(np.float64)
+    ct0 = eng.encrypt(p0, boot["pk"])
+    ct1 = eng.encrypt(p1, boot["pk"])
+    packed = eng.add(eng._drop(ct0, 0), eng.multiply_i(eng._drop(ct1, 0)))
+    z = eng.bootstrap(packed, boot["rlk"], boot["conj"], boot["bk"])
+    zc = eng.conjugate(z, boot["conj"])
+    out0 = eng.linear_combination([z, zc], [0.5, 0.5])
+    out1 = eng.linear_combination([z, zc], [-0.5j, 0.5j])
+    assert out0.level > 3 and out1.level > 3
+    d0 = eng.decrypt(out0, boot["sk"])
+    d1 = eng.decrypt(out1, boot["sk"])
+    # packing doubles the coefficient amplitude; allow a looser bound than
+    # the single-plane 0.19 but require correct signs everywhere
+    assert np.max(np.abs(d0 - p0)) < 0.35
+    assert np.max(np.abs(d1 - p1)) < 0.35
+    assert np.array_equal(np.real(d0) < 0, p0 < 0)
+    assert np.array_equal(np.real(d1) < 0, p1 < 0)
+
+
 def test_factored_plans_match_dense():
     """Factored FFT-stage plans reproduce the dense decode/encode matrices
     exactly (host-side linear algebra; no FHE)."""
