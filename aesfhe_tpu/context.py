@@ -26,16 +26,23 @@ class EngineContext:
                  use_multiparty: bool = False, thread_count: int = 0,
                  device_id: int = 0,
                  fixed_rotations: Sequence[int] | None = None,
-                 generate_bootstrap_keys: bool | None = None):
+                 generate_bootstrap_keys: bool | None = None,
+                 mesh=None, mesh_axis: str = "limb"):
         # signature selects the desilofhe constructor variant
         # (/root/reference/engine_context.py:32-58); all variants map onto the
-        # same CKKSParams knobs here.
+        # same CKKSParams knobs here.  `mesh` (a jax.sharding.Mesh) upgrades
+        # the engine to parallel.mesh_engine.MeshEngine: every key-switch
+        # runs digit-sharded over the mesh — the multi-device capability the
+        # reference lacks (/root/reference/engine_context.py:38).
         del signature, use_multiparty, thread_count, device_id
-        self.engine = Engine(params, max_level=max_level,
-                             log_coeff_count=log_coeff_count,
-                             special_prime_count=special_prime_count,
-                             mode=mode, use_bootstrap=use_bootstrap,
-                             profile=profile)
+        kw = dict(max_level=max_level, log_coeff_count=log_coeff_count,
+                  special_prime_count=special_prime_count, mode=mode,
+                  use_bootstrap=use_bootstrap, profile=profile)
+        if mesh is not None:
+            from .parallel.mesh_engine import MeshEngine
+            self.engine = MeshEngine(params, mesh=mesh, axis=mesh_axis, **kw)
+        else:
+            self.engine = Engine(params, **kw)
         # full key family up front (/root/reference/engine_context.py:62-73);
         # with AESFHE_KEY_CACHE set, the family is loaded from / persisted to
         # disk keyed by a params fingerprint (keygen is the dominant fixed

@@ -158,6 +158,30 @@ class Engine:
     def _count(self, key, n=1):
         self.counters[key] += n
 
+    # ----- key-switch routing hooks ------------------------------------
+    # Every key-switch-bearing primitive funnels through these four
+    # methods; parallel.mesh_engine.MeshEngine overrides them with the
+    # digit-parallel collective programs (shard_map + psum over a device
+    # mesh) so the WHOLE engine API transparently distributes.
+    def _relin_data(self, data, key: SwitchKey):
+        """Relinearize degree-2 data [3, l+1, N] -> [2, l+1, N]."""
+        return _relin_core(self.params, self.tabs, data, key.b, key.a)
+
+    def _galois_data(self, data, g: int, key: SwitchKey):
+        """Apply automorphism g to degree-1 data and switch back under s."""
+        perm = self._perm_dev(g)
+        return _rotate_core(self.params, self.tabs, data, perm, key.b, key.a)
+
+    def _hoist_decompose(self, c1):
+        """Shared key-switch digit decomposition of a c1 polynomial."""
+        return ops_impl.ks_decompose(self.params, self.tabs, c1)
+
+    def _hoist_apply(self, data, d_eval, g: int, key: SwitchKey):
+        """One Galois application given the shared decomposition d_eval."""
+        perm = self._perm_dev(g)
+        return ops_impl.hoisted_rotate(self.params, self.tabs, data,
+                                       d_eval, perm, key.b, key.a)
+
     # ------------------------------------------------------------------
     @property
     def slot_count(self) -> int:
@@ -395,8 +419,7 @@ class Engine:
         ct = Ciphertext(d, a.scale * b.scale)
         if relin_key is not None:
             self._count("keyswitch")
-            data = _relin_core(self.params, self.tabs, ct.data,
-                               relin_key.b, relin_key.a)
+            data = self._relin_data(ct.data, relin_key)
             ct = Ciphertext(data, ct.scale)
         return self._rescale(ct)
 
@@ -462,8 +485,7 @@ class Engine:
             # message parity with desilofhe so EngineWrapper.relinearize's
             # except-branch works (/root/reference/xor_service.py:107-118)
             raise RuntimeError("Ciphertext should have 3 polynomials")
-        data = _relin_core(self.params, self.tabs, ct.data,
-                           relin_key.b, relin_key.a)
+        data = self._relin_data(ct.data, relin_key)
         return Ciphertext(data, ct.scale)
 
     # ----- Galois ------------------------------------------------------
@@ -505,7 +527,7 @@ class Engine:
         if ct.degree != 1:
             raise RuntimeError("rotate expects a degree-1 ciphertext")
         sc = self.params.slot_count
-        d_eval = ops_impl.ks_decompose(self.params, self.tabs, ct.data[1])
+        d_eval = self._hoist_decompose(ct.data[1])
         out = []
         for s in steps:
             s = s % sc
@@ -516,9 +538,7 @@ class Engine:
             if g not in rot_keys.keys:
                 raise KeyError(f"no rotation key for step {s}")
             key = rot_keys.keys[g]
-            perm = self._perm_dev(g)
-            data = ops_impl.hoisted_rotate(self.params, self.tabs, ct.data,
-                                           d_eval, perm, key.b, key.a)
+            data = self._hoist_apply(ct.data, d_eval, g, key)
             self._count("keyswitch")
             self._count("rotate")
             out.append(Ciphertext(data, ct.scale))
@@ -532,9 +552,7 @@ class Engine:
         self._count("keyswitch")
         self._count("conjugate" if g == self.params.conj_galois_elt
                     else "rotate")
-        perm = self._perm_dev(g)
-        data = _rotate_core(self.params, self.tabs, ct.data, perm,
-                            key.b, key.a)
+        data = self._galois_data(ct.data, g, key)
         return Ciphertext(data, ct.scale)
 
     # ----- polynomial helpers -----------------------------------------
@@ -602,8 +620,9 @@ class Engine:
         scale): circuits rebuild the same trivial constants every call."""
         if np.isscalar(val):
             ck = (complex(val), level, scale)
-            hit = self._trivial_cache.get(ck)
+            hit = self._trivial_cache.pop(ck, None)
             if hit is not None:
+                self._trivial_cache[ck] = hit     # refresh LRU recency
                 return hit
             pt = self.encode(np.full(self.params.slot_count, complex(val)),
                              level=level, scale=scale)
@@ -611,6 +630,10 @@ class Engine:
             out = Ciphertext(jnp.stack([pt.data, z]), pt.scale)
             if not isinstance(out.data, jax.core.Tracer):
                 self._trivial_cache[ck] = out
+                # bounded: long-lived services touch many (val, level, scale)
+                # triples; each entry is a dense [2, L, N] array
+                while len(self._trivial_cache) > 128:
+                    self._trivial_cache.pop(next(iter(self._trivial_cache)))
             return out
         pt = self.encode(val, level=level, scale=scale)
         z = jnp.zeros_like(pt.data)
@@ -799,8 +822,7 @@ class Engine:
         b_stack = jnp.stack([ct.data for ct in rb])
         d = ops_impl.ct_tensor_sum(self.params, self.tabs, a_stack, b_stack)
         ct = Ciphertext(d, scale_a * scale_b)
-        data = _relin_core(self.params, self.tabs, ct.data,
-                           relin_key.b, relin_key.a)
+        data = self._relin_data(ct.data, relin_key)
         return self._rescale(Ciphertext(data, ct.scale))
 
     # ----- bootstrap (delegated) --------------------------------------

@@ -6,10 +6,17 @@ Mirrors the key family of the reference's EngineContext
 conjugation, rotation (power-of-two ladder for arbitrary steps), and fixed
 rotation keys.  Bootstrap keys are created by aesfhe_tpu.bootstrap.
 
-Randomness: numpy PCG64 (research-grade parity with the reference; not a
-hardened CSPRNG -- swap `_rng` for an OS entropy source for production use).
+Randomness: numpy PCG64 by default (research-grade parity with the
+reference's unspecified RNG).  For production keygen call
+`use_os_entropy()` (or set AESFHE_KEYGEN_RNG=os before import): every draw
+is then generated from a PCG64 stream freshly keyed from the kernel CSPRNG
+via `secrets` AND re-keyed per sampling call, so no long-lived deterministic
+stream state exists to leak or roll back.
 """
 from __future__ import annotations
+
+import os as _os
+import secrets as _secrets
 
 from dataclasses import dataclass, field
 from typing import Any
@@ -20,12 +27,44 @@ import jax.numpy as jnp
 from . import rns, ntt, ops_impl
 from .params import CKKSParams
 
-_rng = np.random.default_rng()
+
+class _OSEntropyRNG:
+    """numpy Generator facade re-keyed from os.urandom on every call.
+
+    Each sampling method draws through a PCG64 seeded with 256 fresh bits
+    of kernel entropy, so consecutive keys share no PRG state; the PCG64
+    expansion only whitens within one call's output block."""
+
+    def _g(self):
+        return np.random.default_rng(_secrets.randbits(256))
+
+    def choice(self, *a, **k):
+        return self._g().choice(*a, **k)
+
+    def random(self, *a, **k):
+        return self._g().random(*a, **k)
+
+    def normal(self, *a, **k):
+        return self._g().normal(*a, **k)
+
+    def integers(self, *a, **k):
+        return self._g().integers(*a, **k)
+
+
+_rng = (_OSEntropyRNG() if _os.environ.get("AESFHE_KEYGEN_RNG") == "os"
+        else np.random.default_rng())
 
 
 def seed_keygen(seed: int):
+    """Pin keygen to a deterministic PCG64 stream (tests, reproducibility)."""
     global _rng
     _rng = np.random.default_rng(seed)
+
+
+def use_os_entropy():
+    """Switch keygen sampling to OS-entropy-backed draws (production)."""
+    global _rng
+    _rng = _OSEntropyRNG()
 
 
 @dataclass

@@ -274,6 +274,8 @@ _PROFILES = dict(
     # hp: high-precision 2^52 scale (prime-pair rescale) for the byte-domain
     # degree-255 LUT services (GF/S-box/256x256-XOR)
     hp=dict(n=1 << 12, max_level=14, scale_bits=52, num_special_primes=3),
+    # prod: logQP = 1172 <= 1772 (HE-standard 128-bit ternary bound at
+    # N=2^16); calibrated core-SVP estimate ~203 bits (SECURITY.md)
     prod=dict(n=1 << 16, max_level=35, scale_bits=27, num_special_primes=6),
     # boot_tiny: small insecure ring with bootstrap-capable chain (sparse
     # secret, q0 >> Delta for EvalMod's sine range) -- CI-scale refresh
@@ -288,13 +290,17 @@ _PROFILES = dict(
     boot_tiny=dict(n=1 << 9, max_level=82, scale_bits=27,
                    first_prime_bits=30, num_special_primes=4,
                    secret_hamming=16),
-    # prod_boot: full-size bootstrappable chain; logQP = 30 + 54*27 + 8*30
-    # = 1728 < 1763 (128-bit secure at N=2^16); 8 specials keep dnum=7 so
-    # the ~40 factored-bootstrap rotation keys fit single-chip HBM
+    # prod_boot: full-size bootstrappable chain; measured logQP = 1754 <=
+    # 1772 (HE-standard 128-bit ternary bound at N=2^16); the sparse h=192
+    # secret erodes that to an estimated ~129 bits under zero-guessing
+    # (scripts/security_estimate.py -> SECURITY.md) -- 128-bit-class like
+    # the HEaaN-style bootstrap sets it mirrors, not 128-bit-proven.  8
+    # specials keep dnum=7 so the ~40 factored-bootstrap rotation keys fit
+    # single-chip HBM
     prod_boot=dict(n=1 << 16, max_level=54, scale_bits=27,
                    num_special_primes=8, secret_hamming=192),
-    # prod_hp: full-size high-precision ring, ~128-bit secure
-    # (logQP = 60 + 48*26 + 6*30 = 1488 < 1792 for N=2^16)
+    # prod_hp: full-size high-precision ring; logQP = 1516 <= 1772,
+    # calibrated core-SVP estimate ~152 bits (SECURITY.md)
     prod_hp=dict(n=1 << 16, max_level=24, scale_bits=52,
                  num_special_primes=6),
 )

@@ -147,15 +147,22 @@ class BitSliceService:
             [1, 2, 3, -1, -2, -3, 4, 8, 12, -4, -8, -12])
 
     # -- cached dense plaintexts --------------------------------------------
+    # key-dependent entries (ARK sign planes, fold masks) accumulate when a
+    # long-lived service evaluates many AES keys; bound the cache LRU-style
+    # so it cannot grow one dense [L, N] plaintext per (key, plane) forever
+    _PT_CACHE_CAP = 256
+
     def _cached_pt(self, key, vec: np.ndarray):
         """Encode a dense weight vector ONCE (top level, scale Delta) and
         reuse it at every level (multiply/combination slice pt.data rows).
         Raw numpy weights would be host-FFT-encoded and re-uploaded on every
         call -- the dominant cost of the round on a remote device."""
-        pt = self._pt_cache.get(key)
+        pt = self._pt_cache.pop(key, None)
         if pt is None:
             pt = self.eng.engine.encode(np.asarray(vec, dtype=np.float64))
-            self._pt_cache[key] = pt
+        self._pt_cache[key] = pt            # (re)insert: LRU recency order
+        while len(self._pt_cache) > self._PT_CACHE_CAP:
+            self._pt_cache.pop(next(iter(self._pt_cache)))
         return pt
 
     # -- encode / decode ---------------------------------------------------
@@ -192,10 +199,7 @@ class BitSliceService:
         out = []
         for k in range(8):
             ck = ("ark", bytes(np.asarray(key16, dtype=np.uint8)), k)
-            pt = self._pt_cache.get(ck)
-            if pt is None:
-                pt = eng.encode(self._key_signs(key16, k))
-                self._pt_cache[ck] = pt
+            pt = self._cached_pt(ck, self._key_signs(key16, k))
             out.append(eng.multiply_plain(st.bits[k], pt))
         return BitState(out)
 

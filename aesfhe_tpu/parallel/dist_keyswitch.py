@@ -9,9 +9,25 @@ and key multiplies on each chip, with each chip holding ONLY its own key
 digits (the memory win: switch keys are the largest persistent buffers in
 CKKS), and reduces the partial products with a single jax.lax.psum over ICI.
 
+Beyond the one-shot `keyswitch`, this class exposes the full key-switch
+surface the Engine needs (see core/engine.py "key-switch routing hooks"):
+
+  relin(data, key)                degree-2 relinearization
+  galois(data, perm, key)         automorphism + switch-back
+  decompose(c1)                   DIGIT-SHARDED shared decomposition
+  hoisted_apply(data, d, perm, k) one rotation from a shared decomposition
+
+so parallel.mesh_engine.MeshEngine can route *every* multiply / rotate /
+conjugate / hoisted-rotation batch of an arbitrary circuit through the
+collective path.  The hoisted pair mirrors ops_impl.ks_decompose /
+hoisted_rotate: automorphisms commute with the decomposition limb-wise, so
+the sharded digits are permuted locally (a gather on the unsharded N axis)
+and only the final partial-product reduction crosses chips.
+
 The reference's engine is single-device (/root/reference/engine_context.py:38);
 there is nothing to compare against — the contract here is bit-equivalence
-with the local ops_impl.keyswitch, asserted in tests/test_parallel.py.
+with the local ops_impl paths (modular adds are exact, so any accumulation
+grouping gives identical limbs), asserted in tests/test_parallel.py.
 """
 from __future__ import annotations
 
@@ -28,19 +44,20 @@ from ..core.ops_impl import (_rows, _tabs_rows, ntt_rows, intt_rows,
                              _mod_down_specials)
 
 
-def _padded_digit_tables(params, level: int, D: int):
-    """Per-digit decomposition tables, padded to a uniform [D_pad, alpha]
-    shape (zero weights => zero contribution), as host numpy arrays.
+def _padded_digit_tables(params, level: int, pad: int):
+    """Per-digit decomposition tables, padded to a uniform [pad, alpha]
+    shape, as host numpy arrays.
 
-    Returns dict with limb gather indices, inverse-hat Shoup pairs, basis
-    conversion Shoup pairs, per-digit limb moduli, and dnum (real digits).
+    Padded digits carry inv_w = 0, so their extended digit (and therefore
+    their key inner product) is identically zero — the key rows backing a
+    padded digit never matter.
     """
     kst = params.ks_tables(level)
     groups = kst["groups"]
     dnum = len(groups)
+    assert dnum <= pad
     M = len(kst["basis"])
     alpha = max(len(g["limbs"]) for g in groups)
-    pad = max(D, dnum)
     idx = np.zeros((pad, alpha), dtype=np.int32)
     q_limb = np.ones((pad, alpha), dtype=np.uint32)   # 1: harmless modulus
     inv_w = np.zeros((pad, alpha), dtype=np.uint32)
@@ -63,9 +80,11 @@ def _padded_digit_tables(params, level: int, D: int):
 class DistKeySwitch:
     """Digit-sharded key-switch over mesh axis `axis`.
 
-    Call with the s'-polynomial c_eval [l+1, N] (replicated) and a SwitchKey;
-    returns (b, a) [l+1, N] bit-identical to ops_impl.keyswitch.  Per level a
-    jitted shard_map program is built once and cached.
+    Keys are resident digit-sharded: `key_shards` pads a SwitchKey's
+    [dnum, L_tot, N] arrays to a D-divisible digit count and places them
+    with NamedSharding(P(axis, None, None)), so each chip persistently holds
+    only its 1/D of every switch key.  Per (level, program) a jitted
+    shard_map program is built once and cached.
     """
 
     def __init__(self, params, tabs, mesh: Mesh, axis: str = "limb"):
@@ -74,48 +93,72 @@ class DistKeySwitch:
         self.mesh = mesh
         self.axis = axis
         self.D = mesh.shape[axis]
+        # one global digit pad for every level, so a key is sharded once
+        self.pad = ((params.dnum + self.D - 1) // self.D) * self.D
         self._fns = {}
+        self._key_cache: dict[int, tuple] = {}
+        # XLA's CPU backend runs each virtual device's program on its own
+        # thread and matches in-process collectives by rendezvous; two
+        # collective programs dispatched asynchronously can interleave their
+        # per-device launches and cross-match (wrong psum pairing) or
+        # deadlock ("expected 8 threads, only 5 arrived").  Real TPUs
+        # sequence launches per device, so this only needs host-side
+        # serialization on the host-platform validation mesh.
+        self._serialize = mesh.devices.flat[0].platform == "cpu"
 
-    # -- per-level program ---------------------------------------------------
+    def _run(self, fn, *args):
+        out = fn(*args)
+        if self._serialize:
+            jax.block_until_ready(out)
+        return out
+
+    # -- digit-sharded key residency ----------------------------------------
+    def key_shards(self, key):
+        """(kb, ka): [pad, L_tot, N] digit-sharded over the mesh axis."""
+        ent = self._key_cache.get(id(key))
+        if ent is not None:
+            return ent[1], ent[2]
+        kb = jnp.asarray(key.b)
+        ka = jnp.asarray(key.a)
+        if kb.shape[0] < self.pad:
+            z = jnp.zeros((self.pad - kb.shape[0],) + kb.shape[1:], kb.dtype)
+            kb = jnp.concatenate([kb, z])
+            ka = jnp.concatenate([ka, z])
+        sh = NamedSharding(self.mesh, P(self.axis, None, None))
+        kb = jax.device_put(kb, sh)
+        ka = jax.device_put(ka, sh)
+        # hold a strong ref to `key` so its id() cannot be recycled
+        self._key_cache[id(key)] = (key, kb, ka)
+        return kb, ka
+
+    # -- per-level programs ---------------------------------------------------
     def _build(self, level: int):
         params, tabs, mesh, axis = self.params, self.tabs, self.mesh, self.axis
-        D = self.D
-        t = _padded_digit_tables(params, level, D)
-        per = (t["idx"].shape[0] + D - 1) // D
-        pad = per * D
-
-        def padD(x):
-            if x.shape[0] == pad:
-                return x
-            fill = np.zeros((pad - x.shape[0],) + x.shape[1:], x.dtype)
-            if x.dtype == np.uint32 and x.ndim == 2 and x is t["q_limb"]:
-                fill[:] = 1
-            return np.concatenate([x, fill])
+        t = _padded_digit_tables(params, level, self.pad)
 
         rows_b = _rows(params, level, True)
         tr_b = _tabs_rows(tabs, rows_b)
+        tr_q = _tabs_rows(tabs, _rows(params, level, False))
+        rows_key = jnp.asarray(rows_b)
         q_basis = jnp.asarray(t["basis"]).reshape(1, -1, 1)
         q_host = [int(q) for q in np.asarray(tr_b["q"])]
+        # 2^16 Shoup pairs per basis prime, for the exact two-half psum fold
         sh_w = jnp.asarray([(1 << 16) % q for q in q_host],
                            dtype=jnp.uint32).reshape(1, -1, 1)
         sh_sh = jnp.asarray([rns.shoup_precompute((1 << 16) % q, q)
                              for q in q_host],
                             dtype=jnp.uint32).reshape(1, -1, 1)
 
-        digit_tabs = [jnp.asarray(padD(t[k])) for k in
-                      ("idx", "q_limb", "inv_w", "inv_sh", "conv_w",
-                       "conv_sh")]
+        digit_tabs = tuple(jnp.asarray(t[k]) for k in
+                           ("idx", "q_limb", "inv_w", "inv_sh", "conv_w",
+                            "conv_sh"))
         dspec = P(axis)      # leading digit axis sharded
 
-        @functools.partial(shard_map, mesh=mesh,
-                           in_specs=(P(), dspec, dspec, dspec, dspec, dspec,
-                                     dspec, dspec, dspec),
-                           out_specs=P())
-        def _partial_inner(c_plain, idx, q_limb, inv_w, inv_sh, conv_w,
-                           conv_sh, kb, ka):
-            # idx/.. [per, alpha(, M)]; kb/ka [per, M, N]
+        def _decompose_local(c_plain, idx, q_limb, inv_w, inv_sh, conv_w,
+                             conv_sh):
+            """Extend + NTT this shard's digits: [per, M, N]."""
             qb = tr_b["q"].reshape((-1, 1))
-            acc_b = acc_a = None
+            outs = []
             for j in range(idx.shape[0]):
                 cg = c_plain[idx[j]]                          # [alpha, N]
                 y = rns.shoup_mul(cg, inv_w[j][:, None], inv_sh[j][:, None],
@@ -130,57 +173,118 @@ class DistKeySwitch:
                                                                q_basis[0])
                 dm = rns.to_mont(ext, qb, tr_b["qinv"].reshape((-1, 1)),
                                  tr_b["r2"].reshape((-1, 1)))
-                d_eval = ntt_rows(dm, tr_b)                   # [M, N]
-                tb = rns.mont_mul(d_eval, kb[j], qb,
-                                  tr_b["qinv"].reshape((-1, 1)))
-                ta = rns.mont_mul(d_eval, ka[j], qb,
-                                  tr_b["qinv"].reshape((-1, 1)))
+                outs.append(ntt_rows(dm, tr_b))               # [M, N]
+            return jnp.stack(outs)
+
+        def _inner_local(d_eval, kb, ka):
+            """Partial key inner product of this shard's digits + exact
+            modular all-reduce.  psum overflows uint32, so reduce in two
+            uint32-exact halves (each < 2^31) and fold mod q afterwards."""
+            qb = tr_b["q"].reshape((-1, 1))
+            qinv_b = tr_b["qinv"].reshape((-1, 1))
+            acc_b = acc_a = None
+            for j in range(d_eval.shape[0]):
+                tb = rns.mont_mul(d_eval[j], kb[j][rows_key], qb, qinv_b)
+                ta = rns.mont_mul(d_eval[j], ka[j][rows_key], qb, qinv_b)
                 acc_b = tb if acc_b is None else rns.add_mod(acc_b, tb, qb)
                 acc_a = ta if acc_a is None else rns.add_mod(acc_a, ta, qb)
-            # modular all-reduce: psum overflows uint32, so reduce in two
-            # uint32-exact halves (each < 2^31) and fold mod q afterwards
             both = jnp.stack([acc_b, acc_a])                  # [2, M, N]
             lo = jax.lax.psum(both & jnp.uint32(0xFFFF), axis)
             hi = jax.lax.psum(both >> 16, axis)
             qv = qb[None]
             magic = tr_b["magic"].reshape((1, -1, 1))
             lo_r = rns.barrett_reduce(lo, qv, magic)
-            # hi * 2^16 mod q via Shoup on the reduced hi
             hi_r = rns.barrett_reduce(hi, qv, magic)
-            sh_w = jnp.asarray(
-                np.asarray([(1 << 16) % int(q) for q in
-                            np.asarray(tr_b["q"])], dtype=np.uint32)
-            ).reshape(1, -1, 1)
-            sh_sh = jnp.asarray(
-                np.asarray([rns.shoup_precompute((1 << 16) % int(q), int(q))
-                            for q in np.asarray(tr_b["q"])], dtype=np.uint32)
-            ).reshape(1, -1, 1)
             return rns.add_mod(lo_r, rns.shoup_mul(hi_r, sh_w, sh_sh, qv), qv)
 
-        tr_q = _tabs_rows(tabs, _rows(params, level, False))
+        @functools.partial(shard_map, mesh=mesh,
+                           in_specs=(P(),) + (dspec,) * 6, out_specs=dspec)
+        def _decompose_sm(c_plain, *dt):
+            return _decompose_local(c_plain, *dt)
+
+        @functools.partial(shard_map, mesh=mesh,
+                           in_specs=(dspec, dspec, dspec), out_specs=P())
+        def _inner_sm(d_eval, kb, ka):
+            return _inner_local(d_eval, kb, ka)
+
+        @functools.partial(shard_map, mesh=mesh,
+                           in_specs=(dspec, P(), dspec, dspec), out_specs=P())
+        def _inner_perm_sm(d_eval, perm, kb, ka):
+            return _inner_local(d_eval[..., perm], kb, ka)
+
+        def _c_plain(c_eval):
+            c_coeff = intt_rows(c_eval, tr_q)
+            return rns.from_mont(c_coeff, tr_q["q"].reshape(-1, 1),
+                                 tr_q["qinv"].reshape(-1, 1))
+
+        def _ks_body(c_eval, kb, ka):
+            d_eval = _decompose_sm(_c_plain(c_eval), *digit_tabs)
+            acc = _inner_sm(d_eval, kb, ka)
+            return _mod_down_specials(params, tabs, acc, level)
+
+        q_add = tr_q["q"].reshape((-1, 1))
 
         @jax.jit
-        def run(c_eval, kb, ka):
-            c_coeff = intt_rows(c_eval, tr_q)
-            c_plain = rns.from_mont(c_coeff, tr_q["q"].reshape(-1, 1),
-                                    tr_q["qinv"].reshape(-1, 1))
-            acc = _partial_inner(c_plain, *digit_tabs, kb, ka)
-            ba = _mod_down_specials(params, tabs, acc, level)
+        def keyswitch(c_eval, kb, ka):
+            ba = _ks_body(c_eval, kb, ka)
             return ba[0], ba[1]
 
-        return run, t["dnum"], pad, rows_b
+        @jax.jit
+        def relin(data, kb, ka):
+            ba = _ks_body(data[2], kb, ka)
+            return jnp.stack([rns.add_mod(data[0], ba[0], q_add),
+                              rns.add_mod(data[1], ba[1], q_add)])
 
-    def __call__(self, c_eval, key):
-        level = c_eval.shape[0] - 1
+        @jax.jit
+        def galois(data, perm, kb, ka):
+            p0 = data[0][..., perm]
+            ba = _ks_body(data[1][..., perm], kb, ka)
+            return jnp.stack([rns.add_mod(p0, ba[0], q_add), ba[1]])
+
+        @jax.jit
+        def decompose(c_eval):
+            return _decompose_sm(_c_plain(c_eval), *digit_tabs)
+
+        @jax.jit
+        def hoisted_apply(data, d_eval, perm, kb, ka):
+            p0 = data[0][..., perm]
+            acc = _inner_perm_sm(d_eval, perm, kb, ka)
+            ba = _mod_down_specials(params, tabs, acc, level)
+            return jnp.stack([rns.add_mod(p0, ba[0], q_add), ba[1]])
+
+        return dict(keyswitch=keyswitch, relin=relin, galois=galois,
+                    decompose=decompose, hoisted_apply=hoisted_apply)
+
+    def _prog(self, level: int) -> dict:
         if level not in self._fns:
             self._fns[level] = self._build(level)
-        run, dnum, pad, rows_b = self._fns[level]
-        rows = jnp.asarray(rows_b)
-        # only the digits active at this level; pad the rest with zero keys
-        kb = key.b[:dnum, rows, :]
-        ka = key.a[:dnum, rows, :]
-        if dnum < pad:
-            z = jnp.zeros((pad - dnum,) + kb.shape[1:], kb.dtype)
-            kb = jnp.concatenate([kb, z])
-            ka = jnp.concatenate([ka, z])
-        return run(c_eval, kb, ka)
+        return self._fns[level]
+
+    # -- public programs ------------------------------------------------------
+    def keyswitch(self, c_eval, key):
+        kb, ka = self.key_shards(key)
+        return self._run(self._prog(c_eval.shape[0] - 1)["keyswitch"],
+                         c_eval, kb, ka)
+
+    # backward-compat alias (round-1 API)
+    __call__ = keyswitch
+
+    def relin(self, data, key):
+        kb, ka = self.key_shards(key)
+        return self._run(self._prog(data.shape[1] - 1)["relin"],
+                         data, kb, ka)
+
+    def galois(self, data, perm, key):
+        kb, ka = self.key_shards(key)
+        return self._run(self._prog(data.shape[1] - 1)["galois"],
+                         data, perm, kb, ka)
+
+    def decompose(self, c_eval):
+        """Digit-sharded shared decomposition for rotation hoisting."""
+        return self._run(self._prog(c_eval.shape[0] - 1)["decompose"],
+                         c_eval)
+
+    def hoisted_apply(self, data, d_eval, perm, key):
+        kb, ka = self.key_shards(key)
+        return self._run(self._prog(data.shape[1] - 1)["hoisted_apply"],
+                         data, d_eval, perm, kb, ka)

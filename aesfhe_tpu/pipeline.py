@@ -21,6 +21,7 @@ possible; `max_rounds_without_bootstrap` reports what fits the chain.
 """
 from __future__ import annotations
 
+import json
 from dataclasses import dataclass
 from typing import Callable, Optional
 
@@ -294,18 +295,68 @@ class AESFHE128Bitsliced:
         from pathlib import Path
         return Path(checkpoint_dir) / f"round{r:02d}_plane{k}.npz"
 
+    def _run_digest(self) -> str:
+        """Digest binding a checkpoint dir to THIS evaluation: the expanded
+        round keys plus everything keygen/encode depend on.  A reused dir
+        from a run with a different AES key or params would otherwise be
+        silently resumed into wrong ciphertext."""
+        import hashlib
+        from .utils.serialization import params_fingerprint
+        h = hashlib.sha256()
+        h.update(params_fingerprint(self.eng.engine.params).encode())
+        for rk in self.round_keys:
+            h.update(bytes(np.asarray(rk, dtype=np.uint8)))
+        return h.hexdigest()[:16]
+
     def _save_checkpoint(self, checkpoint_dir, r: int, st) -> None:
+        """Atomic per-plane writes + a round-complete marker written LAST,
+        so a crash mid-save can never present a truncated round as
+        resumable."""
+        import os
         from pathlib import Path
         from .utils.serialization import save_ciphertext
-        Path(checkpoint_dir).mkdir(parents=True, exist_ok=True)
+        d = Path(checkpoint_dir)
+        d.mkdir(parents=True, exist_ok=True)
+        manifest = d / "manifest.json"
+        if not manifest.exists():
+            tmp = manifest.with_suffix(".tmp")
+            tmp.write_text(json.dumps({"digest": self._run_digest()}))
+            os.replace(tmp, manifest)
         for k, ct in enumerate(st.bits):
-            save_ciphertext(self._ckpt_path(checkpoint_dir, r, k), ct)
+            path = self._ckpt_path(checkpoint_dir, r, k)
+            # tmp must keep the .npz suffix: np.savez appends it otherwise
+            tmp = path.with_name("tmp_" + path.name)
+            save_ciphertext(tmp, ct)
+            os.replace(tmp, path)
+        marker = d / f"round{r:02d}.complete"
+        tmp = marker.with_suffix(".tmp")
+        tmp.write_text("ok")
+        os.replace(tmp, marker)
 
     def _load_checkpoint(self, checkpoint_dir, max_round: int):
-        """Deepest complete round <= max_round, or (None, 0)."""
+        """Deepest complete round <= max_round, or (None, 0).  Refuses to
+        resume from a dir whose manifest digest does not match this run's
+        (round keys + params)."""
+        from pathlib import Path
         from .ops.bitplane import BitState
         from .utils.serialization import load_ciphertext
+        d = Path(checkpoint_dir)
+        manifest = d / "manifest.json"
+        if not manifest.exists():
+            if any(d.glob("round*_plane*.npz")):
+                raise RuntimeError(
+                    f"checkpoint dir {d} has round files but no manifest; "
+                    "refusing to resume unverifiable state")
+            return None, 0
+        digest = json.loads(manifest.read_text()).get("digest")
+        if digest != self._run_digest():
+            raise RuntimeError(
+                f"checkpoint dir {d} belongs to a different run (manifest "
+                "digest mismatch: AES key, input params, or profile differ); "
+                "use a fresh checkpoint_dir")
         for r in range(max_round, 0, -1):
+            if not (d / f"round{r:02d}.complete").exists():
+                continue
             paths = [self._ckpt_path(checkpoint_dir, r, k) for k in range(8)]
             if all(p.exists() for p in paths):
                 return BitState([load_ciphertext(p) for p in paths]), r

@@ -28,9 +28,9 @@ def chunk_bytes(data: bytes, block_size: int = 16) -> list[bytes]:
 
 
 def pkcs7_pad(block: bytes, block_size: int = 16) -> bytes:
+    # pad_len is always in [1, block_size]: a full-length input gets a whole
+    # padding block, per RFC 5652
     pad_len = block_size - (len(block) % block_size)
-    if pad_len == 0:
-        pad_len = block_size
     return block + bytes([pad_len] * pad_len)
 
 
@@ -39,7 +39,7 @@ def pkcs7_unpad(data: bytes) -> bytes:
         return data
     pad_len = data[-1]
     if pad_len < 1 or pad_len > len(data):
-        raise ValueError("Invalid padding")
+        raise ValueError(f"corrupt PKCS#7 padding: length byte {pad_len}")
     if data[-pad_len:] != bytes([pad_len] * pad_len):
-        raise ValueError("Invalid PKCS#7 padding bytes")
+        raise ValueError("corrupt PKCS#7 padding: non-uniform pad bytes")
     return data[:-pad_len]

@@ -109,3 +109,51 @@ def test_batched_sharded_square(tiny_engine):
         dec = eng.decrypt(Ciphertext(out[b], out_scale[0]), E["sk"])
         want = ZetaEncoder.to_zeta(vals[b], 16) ** 2
         assert np.max(np.abs(dec - want)) < 5e-3
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs 4 virtual devices")
+def test_mesh_engine_bit_exact(tiny_engine):
+    """MeshEngine (every key-switch routed through the digit-sharded
+    collective path) is BIT-IDENTICAL to the local Engine across the whole
+    key-switch surface — multiply+relin, rotate, conjugate, and a hoisted
+    rotation batch — at two different levels."""
+    from jax.sharding import Mesh
+    from aesfhe_tpu.parallel.mesh_engine import MeshEngine
+
+    E = tiny_engine
+    eng = E["eng"]
+    params = eng.params
+    mesh = Mesh(np.asarray(jax.devices()[:4]), ("limb",))
+    meng = MeshEngine(params, mesh=mesh)
+
+    rng = np.random.default_rng(7)
+    vals = rng.integers(0, 16, eng.slot_count, dtype=np.uint8)
+    ct = eng.encrypt(ZetaEncoder.to_zeta(vals, 16), E["pk"])
+    rlk, conj, rot = E["rlk"], E["conj"], E["rot"]
+
+    for lvl in (params.top_level, 4):
+        a = eng._drop(ct, lvl)
+
+        want = eng.multiply(a, a, rlk)
+        got = meng.multiply(a, a, rlk)
+        assert np.array_equal(np.asarray(got.data), np.asarray(want.data))
+        assert got.scale == want.scale
+
+        want = eng.rotate(a, rot, 3)
+        got = meng.rotate(a, rot, 3)
+        assert np.array_equal(np.asarray(got.data), np.asarray(want.data))
+
+        want = eng.conjugate(a, conj)
+        got = meng.conjugate(a, conj)
+        assert np.array_equal(np.asarray(got.data), np.asarray(want.data))
+
+        steps = [1, 2, 4]
+        for w, g in zip(eng.hoisted_rotations(a, rot, steps),
+                        meng.hoisted_rotations(a, rot, steps)):
+            assert np.array_equal(np.asarray(g.data), np.asarray(w.data))
+
+    # decrypt sanity through the collective path (secret key shared)
+    sq = meng.multiply(ct, ct, rlk)
+    dec = eng.decrypt(sq, E["sk"])
+    want_vals = ZetaEncoder.to_zeta(vals, 16) ** 2
+    assert np.max(np.abs(dec - want_vals)) < 5e-3
