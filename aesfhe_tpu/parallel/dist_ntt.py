@@ -120,8 +120,12 @@ class DistNTT:
         host = build_tables(n, params.all_primes, tuple(params.tables.psi))
         nrows = params.num_q if level is None else level + 1
         ri = np.arange(nrows, dtype=np.int32)
-        # every table has a leading per-prime axis; keep the active rows
-        self.mx = {k: jnp.asarray(np.asarray(v)[ri]) for k, v in host.items()}
+        # every table has a leading per-prime axis; keep the active rows.
+        # Host numpy (not jnp): closed-over device-committed arrays would
+        # pin the compiled program to local device 0, which breaks when the
+        # mesh spans processes (parallel.multihost); numpy closures compile
+        # to replicated constants on whatever mesh the jit runs over.
+        self.mx = {k: np.asarray(v)[ri] for k, v in host.items()}
         in_spec = P(None, None, axis)
         out_spec = P(None, axis, None)
         tw_spec = P(None, None, axis)
