@@ -30,7 +30,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from . import rns, ntt, encoding, ops_impl, keys as keys_mod
+from . import rns, ntt, encoding, dev_encoding, ops_impl, keys as keys_mod
 from .params import CKKSParams, get_params
 from .ciphertext import Ciphertext, Plaintext, ScalarPlaintext
 from .keys import (SecretKey, PublicKey, SwitchKey, GaloisKeySet,
@@ -222,9 +222,16 @@ class Engine:
 
     # ----- encode / encrypt / decrypt ---------------------------------
     def encode(self, vec, level: int | None = None,
-               scale: float | None = None) -> Plaintext:
+               scale: float | None = None, device: bool = False) -> Plaintext:
+        """device=True keeps the whole embedding on-device (c64 FFT,
+        core/dev_encoding.py) — use for per-call hot-path encodes; the host
+        f64 path stays the default for encode-once constants."""
         level = self.params.top_level if level is None else level
         scale = self.params.scale if scale is None else scale
+        if device:
+            data = dev_encoding.encode_eval_dev(self.params, self.tabs,
+                                                vec, level, scale)
+            return Plaintext(data=data, scale=scale)
         coeffs = encoding.slots_to_coeffs(np.asarray(vec), self.params, scale)
         res = encoding.coeffs_to_rns(coeffs,
                                      self.params.active_primes(level))
@@ -232,15 +239,20 @@ class Engine:
                             jnp.asarray(res.astype(np.uint32)), level)
         return Plaintext(data=data, scale=scale)
 
-    def encrypt(self, data, pk: PublicKey) -> Ciphertext:
+    def encrypt(self, data, pk: PublicKey, device: bool = False) -> Ciphertext:
         params = self.params
         arr = np.asarray(data)
-        pt = encoding.slots_to_coeffs(arr, params, params.scale)
-        m_res = encoding.coeffs_to_rns(pt, params.q_primes)
+        if device:
+            m_eval = dev_encoding.encode_eval_dev(params, self.tabs, arr,
+                                                  params.top_level,
+                                                  params.scale)
+        else:
+            pt = encoding.slots_to_coeffs(arr, params, params.scale)
+            m_res = encoding.coeffs_to_rns(pt, params.q_primes)
+            m_eval = _encode_core(params, self.tabs,
+                                  jnp.asarray(m_res.astype(np.uint32)),
+                                  params.top_level)
         rows = np.arange(params.num_q, dtype=np.int32)
-        m_eval = _encode_core(params, self.tabs,
-                              jnp.asarray(m_res.astype(np.uint32)),
-                              params.top_level)
         v = keys_mod._sample_ternary(params.n)
         e0 = keys_mod._sample_gauss(params.n, params.error_std)
         e1 = keys_mod._sample_gauss(params.n, params.error_std)
@@ -257,10 +269,17 @@ class Engine:
                                  v_eval, e0_eval, e1_eval)
         return Ciphertext(data=data_dev, scale=params.scale)
 
-    def decrypt(self, ct: Ciphertext, sk: SecretKey) -> np.ndarray:
+    def decrypt(self, ct: Ciphertext, sk: SecretKey,
+                device: bool = False) -> np.ndarray:
         params = self.params
-        residues = np.asarray(
-            _decrypt_core(params, self.tabs, ct.data, sk.s_eval))
+        residues = _decrypt_core(params, self.tabs, ct.data, sk.s_eval)
+        if device:
+            # exact 2-limb Garner + c64 IFFT, all on-device; valid while
+            # |coeff| < q0*q1/2 (~2^59) — every healthy ciphertext
+            slots = dev_encoding._decode_slots_dev(
+                params, residues[:2], float(ct.scale))
+            return np.asarray(slots)
+        residues = np.asarray(residues)
         vals = rns.crt_to_centered_float(
             residues.astype(np.uint64), params.active_primes(ct.level))
         return encoding.coeffs_to_slots(vals, params, ct.scale)

@@ -167,15 +167,19 @@ class BitSliceService:
 
     # -- encode / decode ---------------------------------------------------
     def encrypt_state(self, state_bytes: np.ndarray) -> BitState:
+        # device=True: the embedding FFT of all 8 planes runs on-device
+        # (core/dev_encoding.py) instead of 8 serial host FFTs — the sign
+        # margin (1.0) dwarfs the c64 encode error (~1e-6)
         b = np.asarray(state_bytes, dtype=np.uint8)
         return BitState([
-            self.eng.encrypt(1.0 - 2.0 * ((b >> k) & 1).astype(np.float64))
+            self.eng.encrypt(1.0 - 2.0 * ((b >> k) & 1).astype(np.float64),
+                             device=True)
             for k in range(8)])
 
     def decrypt_state(self, st: BitState) -> np.ndarray:
         out = np.zeros(self.sc, dtype=np.uint8)
         for k, ct in enumerate(st.bits):
-            bit = (np.real(self.eng.decrypt(ct)) < 0)
+            bit = (np.real(self.eng.decrypt(ct, device=True)) < 0)
             out |= bit.astype(np.uint8) << k
         return out
 

@@ -94,11 +94,12 @@ class EngineWrapper:
         self.rot_key = ctx.rotation_key
         self.boot_key = ctx.bootstrap_key
 
-    def encrypt(self, data):
-        return self.engine.encrypt(np.asarray(data), self.public_key)
+    def encrypt(self, data, device: bool = False):
+        return self.engine.encrypt(np.asarray(data), self.public_key,
+                                   device=device)
 
-    def decrypt(self, ct) -> np.ndarray:
-        return self.engine.decrypt(ct, self.secret_key)
+    def decrypt(self, ct, device: bool = False) -> np.ndarray:
+        return self.engine.decrypt(ct, self.secret_key, device=device)
 
     def encode(self, vec):
         return self.engine.encode(np.asarray(vec))
