@@ -1,6 +1,6 @@
 """MXU (systolic-array) negacyclic NTT via 4-step int8-digit matmuls.
 
-The stage-by-stage NTT (core/ntt.py, core/pallas_ntt.py) is bound by butterfly
+The stage-by-stage NTT (core/ntt.py) is bound by butterfly
 data movement on the VPU: 16 stages each rewrite the whole polynomial with
 cross-lane shuffles.  This module instead maps the transform onto the MXU,
 where the TPU's integer throughput is ~2 orders of magnitude higher:

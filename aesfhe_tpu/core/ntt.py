@@ -12,8 +12,8 @@ constants applied with Shoup multiplication (see core/rns.py), which maps
 Montgomery inputs to Montgomery outputs.
 
 Everything is shaped [..., N] and the stage loop is a Python loop that XLA
-unrolls and fuses; a Pallas VMEM-resident fusion of all stages is layered on
-top for the hot path (see aesfhe_tpu/core/pallas_ntt.py).
+unrolls and fuses; the production TPU path replaces the butterfly network
+entirely with int8 MXU matmuls (see aesfhe_tpu/core/mxu_ntt.py).
 
 This replaces the native NTT inside the reference's `desilofhe` engine
 (SURVEY.md section 2.1, "north star" in BASELINE.json).

@@ -19,8 +19,11 @@ Env knobs:
   AESFHE_BENCH_LOGN     ring exponent (default 16)
   AESFHE_BENCH_LEVELS   depth (default 16; one bit-sliced round fits)
   AESFHE_BENCH_ITERS    timed iterations (default 3)
-  AESFHE_BENCH_MODE     "bitplane" (default) | "zeta" (ARK+SubBytes step on
-                        the reference-style zeta nibble-pair pipeline)
+  AESFHE_BENCH_MODE     "flagship" (10-round AES-128 with real bootstraps,
+                        prod_boot; falls back to bitplane if it fails)
+                        | "bitplane" (one full round, no bootstrap)
+                        | "zeta" (ARK+SubBytes step on the reference-style
+                        zeta nibble-pair pipeline)
   AESFHE_BENCH_SKIP_CPU skip CPU baseline leg (vs_baseline = 0)
 """
 import json
@@ -124,7 +127,7 @@ def _setup_zeta(logn: int, levels: int):
 
 def run_leg(logn: int, levels: int, iters: int) -> float:
     import jax
-    setup = _setup_bitplane if MODE == "bitplane" else _setup_zeta
+    setup = _setup_zeta if MODE == "zeta" else _setup_bitplane
     step, args, blocks = setup(logn, levels)
     out = step(*args)                         # warm: compile once
     jax.block_until_ready(out)
@@ -138,10 +141,53 @@ def run_leg(logn: int, levels: int, iters: int) -> float:
     return blocks / dt
 
 
+def run_flagship():
+    """10-round AES-128 with real bootstraps (prod_boot, N=2^16, 128-bit
+    class): drives scripts/run_full_aes.py and reports ITS metrics — the
+    BASELINE.md flagship (blocks/s over 10 rounds incl. bootstraps,
+    ms/round, rotations/s).  Returns None if the run fails (cold cache +
+    relay compile can exceed the budget), letting main() fall back to the
+    one-round metric."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    env = dict(os.environ)
+    env.setdefault("AESFHE_KEY_CACHE", "/root/.cache/aesfhe_keys")
+    budget = int(os.environ.get("AESFHE_BENCH_FLAGSHIP_TIMEOUT", "5400"))
+    try:
+        r = subprocess.run(
+            [sys.executable, os.path.join(here, "scripts", "run_full_aes.py")],
+            env=env, capture_output=True, text=True, timeout=budget)
+        res = json.loads(r.stdout.strip().splitlines()[-1])
+        if not res.get("fips_exact"):
+            return None
+        return res
+    except Exception:
+        return None
+
+
 def main():
     logn = int(os.environ.get("AESFHE_BENCH_LOGN", "16"))
     levels = int(os.environ.get("AESFHE_BENCH_LEVELS", "16"))
     iters = int(os.environ.get("AESFHE_BENCH_ITERS", "3"))
+    if MODE == "flagship":
+        res = run_flagship()
+        if res is not None:
+            print(json.dumps({
+                "metric": "aes_fhe_10round_blocks_per_s",
+                "value": res["blocks_per_s_10round"],
+                "unit": (f"AES blocks/s (10 rounds incl. "
+                         f"{res['bootstraps']} bootstraps, "
+                         f"{res['blocks']}-block SIMD batch, "
+                         f"{res['profile']} N=2^16; FIPS-197 C.1 exact)"),
+                # the reference publishes no numbers and never finishes one
+                # round (BASELINE.md); no cross-baseline ratio exists
+                "vs_baseline": 0.0,
+                "ms_per_round": res["ms_per_round_mean"],
+                "rotations_per_s": res["rotations_per_s"],
+                "keyswitches_per_s": res["keyswitches_per_s"],
+                "bootstrap_s_total": res["bootstrap_s_total"],
+            }))
+            return
+        # fall through to the one-round metric if the flagship leg failed
     device_bps = run_leg(logn, levels, iters)
     vs = 0.0
     if not os.environ.get("AESFHE_BENCH_SKIP_CPU"):

@@ -45,15 +45,3 @@ i_mxu = jax.jit(lambda x: mxu_ntt.ntt_inv_mxu(x, mx))
 goti = timeit("inv MXU 4-step", i_mxu, ref)
 print("inv bit-exact:", np.array_equal(np.asarray(refi), np.asarray(goti)))
 
-try:
-    from aesfhe_tpu.core import pallas_ntt
-    tw, twsh = pallas_ntt.build_tail_tables(n, tabs.w, tabs.w_sh)
-    rw, rwsh = pallas_ntt.build_row_tables(n, tabs.w, tabs.w_sh)
-    interp = jax.default_backend() == "cpu"
-    f_pal = jax.jit(lambda x: pallas_ntt.ntt_fwd_pallas(
-        n, x, jnp.asarray(rw), jnp.asarray(rwsh), jnp.asarray(tw),
-        jnp.asarray(twsh), q, interp))
-    if not interp:
-        timeit("fwd Pallas fused", f_pal, x)
-except Exception as e:
-    print("pallas skipped:", type(e).__name__, str(e)[:120])

@@ -97,48 +97,6 @@ def test_analytic_eval_order(setup):
     assert np.array_equal(emp, 2 * rev + 1)
 
 
-def test_pallas_ntt_matches_unrolled():
-    # fused Pallas kernel (interpret mode on CPU) vs the unrolled reference
-    from aesfhe_tpu.core import pallas_ntt
-    n = 1 << 13
-    primes = tuple(rns.find_ntt_primes(26, 2 * n, 2))
-    tabs = ntt.NTTTables(n, primes)
-    rng = np.random.default_rng(0)
-    x = jnp.asarray(np.stack([rng.integers(0, q, n, dtype=np.uint32)
-                              for q in primes]))
-    w, wsh, q = (jnp.asarray(tabs.w), jnp.asarray(tabs.w_sh),
-                 jnp.asarray(tabs.q))
-    ref = ntt.ntt_fwd_unrolled(x, w, wsh, q)
-    tw, twsh = pallas_ntt.build_tail_tables(n, tabs.w, tabs.w_sh)
-    rw, rwsh = pallas_ntt.build_row_tables(n, tabs.w, tabs.w_sh)
-    got = pallas_ntt.ntt_fwd_pallas(n, x, jnp.asarray(rw), jnp.asarray(rwsh),
-                                    jnp.asarray(tw), jnp.asarray(twsh), q,
-                                    True)
-    assert np.array_equal(np.asarray(got), np.asarray(ref))
-
-
-def test_pallas_intt_matches_unrolled():
-    from aesfhe_tpu.core import pallas_ntt
-    n = 1 << 13
-    primes = tuple(rns.find_ntt_primes(26, 2 * n, 2))
-    tabs = ntt.NTTTables(n, primes)
-    rng = np.random.default_rng(1)
-    x = jnp.asarray(np.stack([rng.integers(0, q, n, dtype=np.uint32)
-                              for q in primes]))
-    q = jnp.asarray(tabs.q)
-    wi, wish = jnp.asarray(tabs.wi), jnp.asarray(tabs.wi_sh)
-    ref = ntt.ntt_inv_unrolled(x, wi, wish, q, jnp.asarray(tabs.ninv),
-                               jnp.asarray(tabs.ninv_sh))
-    tw, twsh, rw, rwsh = pallas_ntt.build_inv_tables(n, tabs.wi, tabs.wi_sh)
-    got = pallas_ntt.ntt_inv_pallas(n, x, jnp.asarray(tw), jnp.asarray(twsh),
-                                    jnp.asarray(rw), jnp.asarray(rwsh), q,
-                                    True)
-    got = rns.shoup_mul(got, jnp.asarray(tabs.ninv).reshape(-1, 1),
-                        jnp.asarray(tabs.ninv_sh).reshape(-1, 1),
-                        q.reshape(-1, 1))
-    assert np.array_equal(np.asarray(got), np.asarray(ref))
-
-
 def test_mxu_ntt_matches_unrolled():
     """4-step MXU matmul NTT (core/mxu_ntt.py) is bit-identical to the
     butterfly reference, fwd + inv + batched leading dims."""
