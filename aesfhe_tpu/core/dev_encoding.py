@@ -64,10 +64,13 @@ def _embed_maps(params: CKKSParams):
     return src, conj, slot_from_nat, tw_inv, tw_fwd
 
 
-@functools.partial(jax.jit, static_argnums=(0, 3))
-def _encode_eval_dev(params, tabs, z, level, scale):
-    """Complex slots [slot_count] c64 -> eval-domain Montgomery [L, N] u32."""
+@functools.partial(jax.jit, static_argnums=(0, 4))
+def _encode_eval_dev(params, tabs, z_re, z_im, level, scale):
+    """Complex slots (as separate f32 re/im [slot_count] — the axon TPU
+    relay cannot transfer complex arrays) -> eval-domain Montgomery
+    [L, N] u32."""
     src, conjf, _, tw_inv, _ = _embed_maps(params)
+    z = jax.lax.complex(z_re, z_im)
     natural = z[src]
     natural = jnp.where(jnp.asarray(conjf), jnp.conj(natural), natural)
     p = jnp.fft.fft(natural) * jnp.asarray(tw_inv)
@@ -91,7 +94,10 @@ def encode_eval_dev(params, tabs, vec, level: int, scale: float):
         z = np.pad(z, (0, sc - z.size))
     elif z.size > sc:
         raise ValueError(f"too many slots: {z.size} > {sc}")
-    return _encode_eval_dev(params, tabs, jnp.asarray(z, dtype=jnp.complex64),
+    z = np.asarray(z, dtype=np.complex128)
+    return _encode_eval_dev(params, tabs,
+                            jnp.asarray(z.real, dtype=jnp.float32),
+                            jnp.asarray(z.imag, dtype=jnp.float32),
                             level, float(scale))
 
 
@@ -124,4 +130,6 @@ def _decode_slots_dev(params, residues, scale):
                       r0.astype(jnp.int32)).astype(jnp.float32)
     p = (v / scale).astype(jnp.complex64) * jnp.asarray(tw_fwd)
     natural = jnp.fft.ifft(p) * params.n
-    return natural[slot_from_nat]
+    z = natural[slot_from_nat]
+    # f32 re/im pair: the axon relay cannot transfer complex arrays
+    return jnp.stack([jnp.real(z), jnp.imag(z)])

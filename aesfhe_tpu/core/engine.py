@@ -276,9 +276,9 @@ class Engine:
         if device:
             # exact 2-limb Garner + c64 IFFT, all on-device; valid while
             # |coeff| < q0*q1/2 (~2^59) — every healthy ciphertext
-            slots = dev_encoding._decode_slots_dev(
-                params, residues[:2], float(ct.scale))
-            return np.asarray(slots)
+            ri = np.asarray(dev_encoding._decode_slots_dev(
+                params, residues[:2], float(ct.scale)))
+            return ri[0] + 1j * ri[1]
         residues = np.asarray(residues)
         vals = rns.crt_to_centered_float(
             residues.astype(np.uint64), params.active_primes(ct.level))
