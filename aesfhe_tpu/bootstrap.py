@@ -209,7 +209,13 @@ def build_factored_plans(params, radix: int = 5):
 
 
 def create_bootstrap_key(engine, sk, small: bool = False,
-                         factored: bool | None = None) -> BootstrapKey:
+                         factored: bool | None = None,
+                         rot: GaloisKeySet | None = None) -> BootstrapKey:
+    """`rot` injects an existing Galois key set instead of generating one:
+    the rotation steps depend only on params (the factored plans), so the
+    small and regular bootstrap keys can share one set -- at prod_boot each
+    set is ~38 keys x 220 MB, so regenerating it per flavor would double
+    the dominant key-memory footprint."""
     params = engine.params
     if params.rescale_primes != 1:
         # byte-domain hp profiles bootstrap via the nibble pipeline instead
@@ -235,14 +241,16 @@ def create_bootstrap_key(engine, sk, small: bool = False,
             steps |= {s % sc for s in plan["baby_steps"]}
             steps |= {s % sc for s in plan["giant_steps"]}
         steps.discard(0)
-        rot = gen_rotation_keys(params, engine.tabs, sk, sorted(steps))
+        if rot is None:
+            rot = gen_rotation_keys(params, engine.tabs, sk, sorted(steps))
         return BootstrapKey(small=small, rot=rot, K=K, cheb_deg=deg,
                             double_angles=da, factored=True,
                             stc_plan=stc_plan, cts_plan=cts_plan)
     baby, giant = _bsgs_split(sc)
     steps = set(range(1, baby))
     steps |= {g * baby for g in range(1, giant)}
-    rot = gen_rotation_keys(params, engine.tabs, sk, sorted(steps))
+    if rot is None:
+        rot = gen_rotation_keys(params, engine.tabs, sk, sorted(steps))
     return BootstrapKey(small=small, rot=rot, baby=baby, giant=giant, K=K,
                         cheb_deg=deg, double_angles=da, factored=False)
 

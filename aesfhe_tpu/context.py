@@ -26,6 +26,7 @@ class EngineContext:
                  use_multiparty: bool = False, thread_count: int = 0,
                  device_id: int = 0,
                  fixed_rotations: Sequence[int] | None = None,
+                 rotation_steps: Sequence[int] | None = None,
                  generate_bootstrap_keys: bool | None = None,
                  mesh=None, mesh_axis: str = "limb"):
         # signature selects the desilofhe constructor variant
@@ -48,11 +49,18 @@ class EngineContext:
         # disk keyed by a params fingerprint (keygen is the dominant fixed
         # cost of every run -- explicit opt-in since the secret key touches
         # disk; see utils/serialization.cached_key_family)
+        # `rotation_steps` replaces the default power-of-two rotation
+        # ladder with an explicit fixed set (possibly empty: services
+        # generate the steps they need via ensure_rotation_steps).  At
+        # prod_boot the ladder alone is 30 keys x ~220 MB; a full-ring
+        # bootstrapped run cannot afford it next to the ~38 bootstrap
+        # rotation keys in 16 GB of HBM.
         import os as _os
         cache_dir = _os.environ.get("AESFHE_KEY_CACHE")
         if cache_dir:
             from .utils.serialization import cached_key_family
-            fam = cached_key_family(self.engine, cache_dir)
+            fam = cached_key_family(self.engine, cache_dir,
+                                    rotation_steps=rotation_steps)
             self.secret_key = fam["secret"]
             self.public_key = fam["public"]
             self.relinearization_key = fam["relin"]
@@ -65,8 +73,15 @@ class EngineContext:
                 self.secret_key)
             self.conjugation_key = self.engine.create_conjugation_key(
                 self.secret_key)
-            self.rotation_key = self.engine.create_rotation_key(
-                self.secret_key)
+            if rotation_steps is None:
+                self.rotation_key = self.engine.create_rotation_key(
+                    self.secret_key)
+            else:
+                from .core.keys import GaloisKeySet
+                self.rotation_key = (
+                    self.engine.create_fixed_rotation_key(
+                        self.secret_key, list(rotation_steps))
+                    if rotation_steps else GaloisKeySet(keys={}))
         if fixed_rotations:
             fixed = self.engine.create_fixed_rotation_key(
                 self.secret_key, list(fixed_rotations))
@@ -77,10 +92,12 @@ class EngineContext:
         if generate_bootstrap_keys is None:
             generate_bootstrap_keys = use_bootstrap
         if generate_bootstrap_keys:
-            self.small_bootstrap_key = self.engine.create_small_bootstrap_key(
-                self.secret_key)
+            # the two flavors share one Galois key set (same rotation steps;
+            # see bootstrap.create_bootstrap_key)
             self.bootstrap_key = self.engine.create_bootstrap_key(
                 self.secret_key)
+            self.small_bootstrap_key = self.engine.create_small_bootstrap_key(
+                self.secret_key, rot=self.bootstrap_key.rot)
         else:
             self.small_bootstrap_key = None
             self.bootstrap_key = None

@@ -74,7 +74,9 @@ def _encode_eval_dev(params, tabs, z_re, z_im, level, scale):
     natural = z[src]
     natural = jnp.where(jnp.asarray(conjf), jnp.conj(natural), natural)
     p = jnp.fft.fft(natural) * jnp.asarray(tw_inv)
-    c = jnp.round(jnp.real(p) * scale).astype(jnp.int32)      # exact integer
+    # exact to f32 precision while |coeff| < 2^24; the host wrapper rejects
+    # anything that could reach the int32 wrap at 2^31
+    c = jnp.round(jnp.real(p) * scale).astype(jnp.int32)
     qv = jnp.asarray([int(q) for q in params.active_primes(level)],
                      dtype=jnp.int32)[:, None]
     res = jnp.mod(c[None, :], qv).astype(jnp.uint32)          # >= 0 (q > 0)
@@ -95,6 +97,15 @@ def encode_eval_dev(params, tabs, vec, level: int, scale: float):
     elif z.size > sc:
         raise ValueError(f"too many slots: {z.size} > {sc}")
     z = np.asarray(z, dtype=np.complex128)
+    # coefficient magnitude is bounded by max|slot| * scale (unitary-up-to-
+    # scaling embedding); beyond int32 the rounded f32 coefficients would
+    # wrap silently into corrupt residues
+    peak = float(np.max(np.abs(z))) * scale if z.size else 0.0
+    if peak >= 2 ** 31:
+        raise ValueError(
+            f"encode overflow: max|slot| * scale = {peak:.3g} >= 2^31; "
+            "reduce the input magnitude or the scale, or use the host "
+            "encode path")
     return _encode_eval_dev(params, tabs,
                             jnp.asarray(z.real, dtype=jnp.float32),
                             jnp.asarray(z.imag, dtype=jnp.float32),

@@ -212,13 +212,13 @@ class Engine:
                                   steps: Sequence[int]) -> GaloisKeySet:
         return gen_rotation_keys(self.params, self.tabs, sk, list(steps))
 
-    def create_small_bootstrap_key(self, sk: SecretKey):
+    def create_small_bootstrap_key(self, sk: SecretKey, rot=None):
         from .. import bootstrap as _bs
-        return _bs.create_bootstrap_key(self, sk, small=True)
+        return _bs.create_bootstrap_key(self, sk, small=True, rot=rot)
 
-    def create_bootstrap_key(self, sk: SecretKey):
+    def create_bootstrap_key(self, sk: SecretKey, rot=None):
         from .. import bootstrap as _bs
-        return _bs.create_bootstrap_key(self, sk, small=False)
+        return _bs.create_bootstrap_key(self, sk, small=False, rot=rot)
 
     # ----- encode / encrypt / decrypt ---------------------------------
     def encode(self, vec, level: int | None = None,
@@ -273,9 +273,14 @@ class Engine:
                 device: bool = False) -> np.ndarray:
         params = self.params
         residues = _decrypt_core(params, self.tabs, ct.data, sk.s_eval)
-        if device:
-            # exact 2-limb Garner + c64 IFFT, all on-device; valid while
-            # |coeff| < q0*q1/2 (~2^59) — every healthy ciphertext
+        # The device path (exact 2-limb Garner + c64 IFFT, all on-device)
+        # is valid only while |coeff| < q0*q1/2 (~2^57 at 30-bit q0 /
+        # 27-28-bit q1) AND the f32 reconstruction error (~|coeff|*2^-23)
+        # stays below the decode margin.  A pre-rescale product (scale
+        # ~Delta^2 ~ 2^56) breaks both, so such ciphertexts fall through
+        # to the exact host CRT path instead of decoding silently wrong.
+        if device and ct.level >= 1 and \
+                ct.scale <= params.scale * (1.0 + 1e-9):
             ri = np.asarray(dev_encoding._decode_slots_dev(
                 params, residues[:2], float(ct.scale)))
             return ri[0] + 1j * ri[1]

@@ -17,7 +17,8 @@ import numpy as np
 
 from ..core.ciphertext import Ciphertext
 from ..coeffs import generate as coeffgen
-from .xor_service import EngineWrapper, XORService
+from .xor_service import (EngineWrapper, XORService, build_power_basis_256,
+                          eval_lut_1d)
 
 COEFF_DIR = coeffgen.COEFF_DIR
 
@@ -52,18 +53,10 @@ class GFService:
 
     # ------------------------------------------------------------------
     def _basis(self, ct: Ciphertext) -> Dict[int, Ciphertext]:
-        eng = self.eng
-        pos = eng.make_power_basis(ct, 128)
-        basis = {k: pos[k - 1] for k in range(1, 129)}
-        for k in range(129, 256):
-            basis[k] = eng.conjugate(pos[256 - k - 1])
-        return basis
+        return build_power_basis_256(self.eng, ct)
 
     def _eval_lut(self, basis, coeffs: np.ndarray) -> Ciphertext:
-        ks = [k for k in range(1, 256) if abs(coeffs[k]) > 1e-12]
-        return self.eng.linear_combination([basis[k] for k in ks],
-                                           [coeffs[k] for k in ks],
-                                           constant=coeffs[0])
+        return eval_lut_1d(self.eng, basis, coeffs)
 
     def _mul(self, ct: Ciphertext, m: int,
              _shared_basis=None) -> Tuple[Ciphertext, Ciphertext]:

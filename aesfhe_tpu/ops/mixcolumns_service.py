@@ -27,7 +27,8 @@ import numpy as np
 
 from ..core.ciphertext import Ciphertext
 from ..coeffs import generate as coeffgen
-from .xor_service import EngineWrapper, XORService, CoefficientCache
+from .xor_service import (EngineWrapper, XORService, CoefficientCache,
+                          bilinear_lut)
 from .gf_service import GFService
 from .zeta import ZetaEncoder
 
@@ -98,39 +99,8 @@ class AESFHETransformer:
 
     def _bilinear(self, bx: Dict[int, Ciphertext], by: Dict[int, Ciphertext],
                   coeffs) -> Ciphertext:
-        """sum_ij c_ij x^i y^j from prebuilt bases (hoisted relin)."""
-        eng = self.eng
-        rows: Dict[int, Dict[int, complex]] = {}
-        const = 0.0
-        lin_b: Dict[int, complex] = {}
-        lin_a: Dict[int, complex] = {}
-        for (i, j), c in coeffs.items():
-            if i == 0 and j == 0:
-                const += c
-            elif i == 0:
-                lin_b[j] = lin_b.get(j, 0) + c
-            elif j == 0:
-                lin_a[i] = lin_a.get(i, 0) + c
-            else:
-                rows.setdefault(i, {})[j] = c
-        lhs, rhs = [], []
-        for i, row in sorted(rows.items()):
-            js = sorted(row)
-            lhs.append(bx[i])
-            rhs.append(eng.linear_combination([by[j] for j in js],
-                                              [row[j] for j in js]))
-        res = eng.inner_product(lhs, rhs)
-        if lin_a:
-            ks = sorted(lin_a)
-            res = eng.add(res, eng.linear_combination(
-                [bx[k] for k in ks], [lin_a[k] for k in ks]))
-        if lin_b:
-            ks = sorted(lin_b)
-            res = eng.add(res, eng.linear_combination(
-                [by[k] for k in ks], [lin_b[k] for k in ks]))
-        if const:
-            res = eng.add_plain(res, const)
-        return res
+        """sum_ij c_ij x^i y^j (shared bilinear_lut kernel)."""
+        return bilinear_lut(self.eng, bx, by, coeffs)
 
     def _xor_pair(self, a: NibblePair, b: NibblePair) -> NibblePair:
         xs = self.xor_svc

@@ -18,7 +18,7 @@ import numpy as np
 from ..context import EngineContext
 from ..core.ciphertext import Ciphertext
 from ..coeffs import generate as coeffgen
-from .xor_service import EngineWrapper
+from .xor_service import EngineWrapper, build_power_basis_256, eval_lut_1d
 
 COEFF_DIR = coeffgen.COEFF_DIR
 
@@ -47,21 +47,13 @@ class SBoxService:
 
     # ------------------------------------------------------------------
     def _build_power_basis(self, ct: Ciphertext) -> Dict[int, Ciphertext]:
-        """t^1..t^255: 128 powers + conjugations (the reference's dense
-        basis costs 255 sequential multiplies, sbox_service.py:91-93)."""
-        eng = self.wrap
-        pos = eng.make_power_basis(ct, 128)
-        basis = {k: pos[k - 1] for k in range(1, 129)}
-        for k in range(129, 256):
-            basis[k] = eng.conjugate(pos[256 - k - 1])
-        return basis
+        """t^1..t^255 (shared helper; the reference's dense basis costs 255
+        sequential multiplies, sbox_service.py:91-93)."""
+        return build_power_basis_256(self.wrap, ct)
 
     def _eval_lut(self, basis: Dict[int, Ciphertext],
                   coeffs: np.ndarray) -> Ciphertext:
-        ks = [k for k in range(1, 256) if abs(coeffs[k]) > 1e-12]
-        return self.wrap.linear_combination([basis[k] for k in ks],
-                                            [coeffs[k] for k in ks],
-                                            constant=coeffs[0])
+        return eval_lut_1d(self.wrap, basis, coeffs)
 
     def sub_bytes_array(self, enc_arr: Ciphertext) -> Ciphertext:
         """SIMD SubBytes on every slot: zeta256^x -> zeta256^SBOX[x]

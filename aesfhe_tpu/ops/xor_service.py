@@ -52,7 +52,8 @@ class XORConfig:
                  device_id: int = 0,
                  profile: str | None = None,
                  params=None,
-                 use_bootstrap: bool = False):
+                 use_bootstrap: bool = False,
+                 rotation_steps=None):
         self.coeffs_path = Path(coeffs_path)
         self.nibble_hi_path = Path(nibble_hi_path)
         self.nibble_lo_path = Path(nibble_lo_path)
@@ -66,6 +67,10 @@ class XORConfig:
         self.profile = profile
         self.params = params
         self.use_bootstrap = use_bootstrap
+        # None -> power-of-two rotation ladder; sequence (possibly empty)
+        # -> only those fixed Galois keys.  Full-ring bootstrapped runs
+        # pass () and let each service ensure_rotation_steps its own.
+        self.rotation_steps = rotation_steps
 
 
 class EngineWrapper:
@@ -84,6 +89,7 @@ class EngineWrapper:
                 mode=config.mode,
                 thread_count=config.thread_count,
                 device_id=config.device_id,
+                rotation_steps=config.rotation_steps,
             )
         self.ctx = ctx
         self.engine: Engine = ctx.engine
@@ -216,6 +222,77 @@ def _dense_1d(path: Path, n: int) -> np.ndarray:
     return c
 
 
+# ---------------------------------------------------------------------------
+# Shared LUT evaluation helpers.  One definition each: the byte-domain power
+# basis and the bilinear 2D-LUT sum are used by XORService, SBoxService,
+# GFService and AESFHETransformer alike -- divergent copies of this exact
+# plumbing were round-2 review finding #6.
+# ---------------------------------------------------------------------------
+
+def build_power_basis_256(eng: EngineWrapper,
+                          ct: Ciphertext) -> Dict[int, Ciphertext]:
+    """t^1..t^255 in the zeta256 domain: a binary-depth ladder to t^128 plus
+    conjugations for the upper half, t^(256-k) = conj(t^k)
+    (/root/reference/xor_service.py:290-298; the reference's dense basis
+    costs 255 sequential multiplies, /root/reference/sbox/sbox_service.py:93)."""
+    pos = eng.make_power_basis(ct, 128)
+    basis = {k: pos[k - 1] for k in range(1, 129)}
+    for k in range(129, 256):
+        basis[k] = eng.conjugate(pos[256 - k - 1])
+    return basis
+
+
+def eval_lut_1d(eng: EngineWrapper, basis: Dict[int, Ciphertext],
+                coeffs: np.ndarray) -> Ciphertext:
+    """sum_k coeffs[k] * t^k over a prebuilt power basis, as ONE fused
+    linear-combination kernel (constant term handled symbolically)."""
+    ks = [k for k in range(1, len(coeffs)) if abs(coeffs[k]) > 1e-12]
+    return eng.linear_combination([basis[k] for k in ks],
+                                  [coeffs[k] for k in ks],
+                                  constant=coeffs[0])
+
+
+def bilinear_lut(eng: EngineWrapper, bx: Dict[int, Ciphertext],
+                 by: Dict[int, Ciphertext], coeffs) -> Ciphertext:
+    """res = sum_ij c_ij x^i y^j from prebuilt power bases.
+
+    Row-major fusion: each row i collapses to one fused linear combination
+    over by, then all rows reduce in a single batched inner product with
+    hoisted relinearization; pure-x / pure-y / constant terms ride separate
+    fused combinations (no ct*ct multiply spent on them)."""
+    rows: Dict[int, Dict[int, complex]] = {}
+    const = 0.0
+    lin_b: Dict[int, complex] = {}
+    lin_a: Dict[int, complex] = {}
+    for (i, j), c in coeffs.items():
+        if i == 0 and j == 0:
+            const += c
+        elif i == 0:
+            lin_b[j] = lin_b.get(j, 0) + c
+        elif j == 0:
+            lin_a[i] = lin_a.get(i, 0) + c
+        else:
+            rows.setdefault(i, {})[j] = c
+    lhs, rhs = [], []
+    for i, row in sorted(rows.items()):
+        js = sorted(row)
+        lhs.append(bx[i])
+        rhs.append(eng.linear_combination([by[j] for j in js],
+                                          [row[j] for j in js]))
+    res = eng.inner_product(lhs, rhs)
+    if lin_a:
+        ks = sorted(lin_a)
+        res = eng.add(res, eng.linear_combination(
+            [bx[k] for k in ks], [lin_a[k] for k in ks]))
+    if lin_b:
+        ks = sorted(lin_b)
+        res = eng.add(res, eng.linear_combination(
+            [by[k] for k in ks], [lin_b[k] for k in ks]))
+    if const:
+        res = eng.add_plain(res, const)
+    return res
+
+
 class XORService:
     """4-bit and 8-bit homomorphic XOR + AddRoundKey
     (port of /root/reference/xor_service.py:227-552)."""
@@ -242,6 +319,12 @@ class XORService:
             COEFF_DIR / "xor_256x256_coeffs.json")
         self.lo_lift_cache = lo_lift_cache or CoefficientCache(
             COEFF_DIR / "lo_lift_coeffs.json")
+        # key-pattern -> encoded ARK weight plaintexts (see
+        # _xor_with_plain_nibbles); 32 patterns cover a full AES-128 key
+        # schedule (11 round keys x hi/lo) with headroom
+        self._ark_pt_cache: Dict[bytes, Any] = {}
+
+    _ARK_CACHE_CAP = 32
 
     @property
     def eng(self) -> EngineWrapper:
@@ -266,53 +349,13 @@ class XORService:
         return basis
 
     def _build_power_basis_256(self, ct: Ciphertext) -> Dict[int, Ciphertext]:
-        """t^1..t^255 in zeta256 domain via 128 powers + conjugation
-        (/root/reference/xor_service.py:290-298)."""
-        eng = self.eng_wrap
-        pos = eng.make_power_basis(ct, 128)
-        basis = {k: pos[k - 1] for k in range(1, 129)}
-        for k in range(129, 256):
-            basis[k] = eng.conjugate(pos[256 - k - 1])
-        return basis
+        return build_power_basis_256(self.eng_wrap, ct)
 
     # ------------------------------------------------------------------
     def _lut2d_cipher(self, enc_a, enc_b, basis_builder, coeffs):
-        """res = sum_ij c_ij a^i b^j with hoisted relinearization."""
-        eng = self.eng_wrap
-        bx = basis_builder(enc_a)
-        by = basis_builder(enc_b)
-        rows: Dict[int, Dict[int, complex]] = {}
-        const = 0.0
-        lin_b: Dict[int, complex] = {}
-        lin_a: Dict[int, complex] = {}
-        for (i, j), c in coeffs.items():
-            if i == 0 and j == 0:
-                const += c
-            elif i == 0:
-                lin_b[j] = lin_b.get(j, 0) + c
-            elif j == 0:
-                lin_a[i] = lin_a.get(i, 0) + c
-            else:
-                rows.setdefault(i, {})[j] = c
-        lhs, rhs = [], []
-        for i, row in sorted(rows.items()):
-            js = sorted(row)
-            w_i = eng.linear_combination([by[j] for j in js],
-                                         [row[j] for j in js])
-            lhs.append(bx[i])
-            rhs.append(w_i)
-        res = eng.inner_product(lhs, rhs)
-        if lin_a:
-            ks = sorted(lin_a)
-            res = eng.add(res, eng.linear_combination(
-                [bx[k] for k in ks], [lin_a[k] for k in ks]))
-        if lin_b:
-            ks = sorted(lin_b)
-            res = eng.add(res, eng.linear_combination(
-                [by[k] for k in ks], [lin_b[k] for k in ks]))
-        if const:
-            res = eng.add_plain(res, const)
-        return res
+        """res = sum_ij c_ij a^i b^j (shared bilinear_lut kernel)."""
+        return bilinear_lut(self.eng_wrap, basis_builder(enc_a),
+                            basis_builder(enc_b), coeffs)
 
     def xor_cipher(self, enc_a: Ciphertext, enc_b: Ciphertext) -> Ciphertext:
         """4-bit XOR of two zeta16-domain ciphertexts
@@ -433,27 +476,37 @@ class XORService:
         """
         eng = self.eng_wrap
         sc = eng.engine.slot_count
-        k = np.zeros(sc, dtype=np.uint8)
         kn = np.asarray(key_nibbles, dtype=np.uint8).ravel()
         reps = -(-sc // kn.size)
-        k[:] = np.tile(kn, reps)[:sc]
-        coeffs = self.coeff_cache.load_coeffs()
+        k = np.ascontiguousarray(np.tile(kn, reps)[:sc])
+        # per-key encoded-plaintext cache (LRU): the 8 dense weight vectors
+        # are key-dependent but call-invariant, and a fresh eng.encode per
+        # call is a host FFT + device upload on the ARK hot path (the same
+        # remote-device tax ops/bitplane._cached_pt already removes there)
+        ck = k.tobytes()
+        cached = self._ark_pt_cache.pop(ck, None)
+        if cached is None:
+            coeffs = self.coeff_cache.load_coeffs()
+            zeta = np.exp(-2j * np.pi / 16)
+            rows: Dict[int, np.ndarray] = {}
+            const = np.zeros(sc, dtype=np.complex128)
+            for (i, j), c in coeffs.items():
+                w = c * zeta ** ((j * k.astype(np.int64)) % 16)
+                if i == 0:
+                    const += w
+                else:
+                    rows[i] = rows.get(i, 0) + w
+            pts = [(i, eng.encode(w)) for i, w in sorted(rows.items())]
+            cached = (pts, const if np.max(np.abs(const)) > 1e-12 else None)
+        self._ark_pt_cache[ck] = cached          # (re)insert: LRU recency
+        while len(self._ark_pt_cache) > self._ARK_CACHE_CAP:
+            self._ark_pt_cache.pop(next(iter(self._ark_pt_cache)))
+        pts, const = cached
         basis = self._build_power_basis(enc16)
-        zeta = np.exp(-2j * np.pi / 16)
-        rows: Dict[int, np.ndarray] = {}
-        const = np.zeros(sc, dtype=np.complex128)
-        for (i, j), c in coeffs.items():
-            w = c * zeta ** ((j * k.astype(np.int64)) % 16)
-            if i == 0:
-                const += w
-            else:
-                rows[i] = rows.get(i, 0) + w
-        acc = None
-        for i, w in sorted(rows.items()):
-            pt = eng.encode(w)
-            term = eng.multiply_plain(basis[i], pt)
-            acc = term if acc is None else eng.add(acc, term)
-        if np.max(np.abs(const)) > 1e-12:
+        # ONE fused dense combination (single kernel, single rescale)
+        acc = eng.linear_combination([basis[i] for i, _ in pts],
+                                     [pt for _, pt in pts])
+        if const is not None:
             acc = eng.add(acc, const)
         return acc
 

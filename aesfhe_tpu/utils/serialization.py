@@ -69,32 +69,60 @@ def params_fingerprint(params) -> str:
     return h.hexdigest()[:16]
 
 
-def cached_key_family(engine, cache_dir) -> dict:
+def cached_key_family(engine, cache_dir, rotation_steps=None) -> dict:
     """Load the (secret, public, relin, conj, rotation) key family for
     `engine` from `cache_dir`, generating and persisting it on first use.
 
-    Keys are fingerprinted by the full parameter set, so a params change
-    transparently regenerates.  This is an explicit opt-in (the secret key
-    touches disk): production callers keep the reference's
-    regenerate-every-run behavior (/root/reference/engine_context.py:62-73)
-    unless AESFHE_KEY_CACHE is set.
+    Keys are fingerprinted by the full parameter set (and the explicit
+    rotation-step set, when given), so a params change transparently
+    regenerates.  This is an explicit opt-in (the secret key touches disk):
+    production callers keep the reference's regenerate-every-run behavior
+    (/root/reference/engine_context.py:62-73) unless AESFHE_KEY_CACHE is set.
+
+    `rotation_steps` mirrors EngineContext: None -> the power-of-two ladder;
+    a sequence -> only those fixed steps (possibly none).
+
+    Families whose switch keys exceed ~AESFHE_KEY_CACHE_MAX_MB (default
+    1024) are generated but NOT persisted: at full-ring production sizes
+    the arrays are multi-GB of incompressible uniform randomness, and
+    device keygen (native host NTT kernels) beats the disk round-trip.
     """
     cache_dir = Path(cache_dir)
     cache_dir.mkdir(parents=True, exist_ok=True)
-    path = cache_dir / f"keys_{params_fingerprint(engine.params)}.npz"
+    fp = params_fingerprint(engine.params)
+    if rotation_steps is not None:
+        import hashlib
+        h = hashlib.sha256((fp + repr(sorted(set(
+            int(s) for s in rotation_steps)))).encode())
+        fp = h.hexdigest()[:16]
+    path = cache_dir / f"keys_{fp}.npz"
     if path.exists():
         try:
             k = load_keys(path)
-            if {"secret", "public", "relin", "conj", "rotation"} <= set(k):
+            need = {"secret", "public", "relin", "conj"}
+            if need <= set(k):
+                k.setdefault("rotation", GaloisKeySet(keys={}))
                 return k
         except Exception:
             path.unlink(missing_ok=True)
     sk = engine.create_secret_key()
+    if rotation_steps is None:
+        rot = engine.create_rotation_key(sk)
+    elif rotation_steps:
+        rot = engine.create_fixed_rotation_key(sk, list(rotation_steps))
+    else:
+        rot = GaloisKeySet(keys={})
     out = dict(secret=sk,
                public=engine.create_public_key(sk),
                relin=engine.create_relinearization_key(sk),
                conj=engine.create_conjugation_key(sk),
-               rotation=engine.create_rotation_key(sk))
+               rotation=rot)
+    p = engine.params
+    switch_mb = (2 + len(rot.keys)) * 2 * p.dnum * p.L_tot * p.n * 4 / 2**20
+    cap_mb = float(__import__("os").environ.get(
+        "AESFHE_KEY_CACHE_MAX_MB", "1024"))
+    if switch_mb > cap_mb:
+        return out
     tmp = path.with_suffix(".tmp.npz")
     save_keys(tmp, secret=out["secret"], public=out["public"],
               relin=out["relin"], conj=out["conj"],

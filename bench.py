@@ -18,9 +18,10 @@ its own CPU throughput on identical parameters — the honest measurable proxy.
 Env knobs:
   AESFHE_BENCH_LOGN     ring exponent (default 16)
   AESFHE_BENCH_LEVELS   depth (default 16; one bit-sliced round fits)
-  AESFHE_BENCH_ITERS    timed iterations (default 3)
-  AESFHE_BENCH_MODE     "flagship" (10-round AES-128 with real bootstraps,
-                        prod_boot; falls back to bitplane if it fails)
+  AESFHE_BENCH_ITERS    timed iterations (default 5)
+  AESFHE_BENCH_MODE     "flagship" (DEFAULT: 10-round AES-128 with real
+                        bootstraps, prod_boot; falls back to bitplane with
+                        a stderr diagnostic if it fails)
                         | "bitplane" (one full round, no bootstrap)
                         | "zeta" (ARK+SubBytes step on the reference-style
                         zeta nibble-pair pipeline)
@@ -36,7 +37,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
 
-MODE = os.environ.get("AESFHE_BENCH_MODE", "bitplane")
+MODE = os.environ.get("AESFHE_BENCH_MODE", "flagship")
 
 
 def _common(logn: int, levels: int):
@@ -125,20 +126,31 @@ def _setup_zeta(logn: int, levels: int):
     return step, (ct_hi, ct_lo), sc // 16
 
 
-def run_leg(logn: int, levels: int, iters: int) -> float:
+def run_leg(logn: int, levels: int, iters: int):
+    """Returns (blocks/s at the MEDIAN iteration time, per-iter stats dict).
+
+    Per-iteration timing with min/median/max so a published number carries
+    its own variance bar (round-2 lesson: a 29% headline swing between
+    rounds was indistinguishable from relay noise with one 3-iter mean)."""
     import jax
     setup = _setup_zeta if MODE == "zeta" else _setup_bitplane
     step, args, blocks = setup(logn, levels)
     out = step(*args)                         # warm: compile once
     jax.block_until_ready(out)
     _ = np.asarray(jax.tree_util.tree_leaves(out)[0][..., :1])  # force fetch
-    t0 = time.perf_counter()
-    for _ in range(iters):
+    times = []
+    for _ in range(max(1, iters)):
+        t0 = time.perf_counter()
         out = step(*args)
-    jax.block_until_ready(out)
-    _ = np.asarray(jax.tree_util.tree_leaves(out)[0][..., :1])
-    dt = (time.perf_counter() - t0) / iters
-    return blocks / dt
+        jax.block_until_ready(out)
+        _ = np.asarray(jax.tree_util.tree_leaves(out)[0][..., :1])
+        times.append(time.perf_counter() - t0)
+    med = float(np.median(times))
+    stats = {"iters": len(times),
+             "t_min_s": round(min(times), 4),
+             "t_median_s": round(med, 4),
+             "t_max_s": round(max(times), 4)}
+    return blocks / med, stats
 
 
 def run_flagship():
@@ -152,22 +164,37 @@ def run_flagship():
     env = dict(os.environ)
     env.setdefault("AESFHE_KEY_CACHE", "/root/.cache/aesfhe_keys")
     budget = int(os.environ.get("AESFHE_BENCH_FLAGSHIP_TIMEOUT", "5400"))
+    r = None
     try:
         r = subprocess.run(
             [sys.executable, os.path.join(here, "scripts", "run_full_aes.py")],
             env=env, capture_output=True, text=True, timeout=budget)
         res = json.loads(r.stdout.strip().splitlines()[-1])
         if not res.get("fips_exact"):
+            print("bench: flagship run completed but fips_exact is false; "
+                  "falling back to the one-round metric", file=sys.stderr)
             return None
         return res
-    except Exception:
+    except Exception as e:
+        # never downgrade silently: say why the flagship leg fell over
+        print(f"bench: flagship leg failed ({type(e).__name__}: {e}); "
+              "falling back to the one-round metric", file=sys.stderr)
+        for name, stream in (("stdout", getattr(r, "stdout", "") or
+                              getattr(e, "stdout", "") or ""),
+                             ("stderr", getattr(r, "stderr", "") or
+                              getattr(e, "stderr", "") or "")):
+            tail = stream.strip().splitlines()[-8:]
+            if tail:
+                print(f"bench: flagship {name} tail:", file=sys.stderr)
+                for line in tail:
+                    print(f"  {line}", file=sys.stderr)
         return None
 
 
 def main():
     logn = int(os.environ.get("AESFHE_BENCH_LOGN", "16"))
     levels = int(os.environ.get("AESFHE_BENCH_LEVELS", "16"))
-    iters = int(os.environ.get("AESFHE_BENCH_ITERS", "3"))
+    iters = int(os.environ.get("AESFHE_BENCH_ITERS", "5"))
     if MODE == "flagship":
         res = run_flagship()
         if res is not None:
@@ -188,7 +215,7 @@ def main():
             }))
             return
         # fall through to the one-round metric if the flagship leg failed
-    device_bps = run_leg(logn, levels, iters)
+    device_bps, stats = run_leg(logn, levels, iters)
     vs = 0.0
     if not os.environ.get("AESFHE_BENCH_SKIP_CPU"):
         cache = (f"/root/.cache/aesfhe_cpu_leg_{MODE}_{logn}_{levels}.json")
@@ -225,14 +252,15 @@ def main():
         "value": round(device_bps, 3),
         "unit": unit,
         "vs_baseline": round(vs, 3),
+        **stats,
     }))
 
 
 if __name__ == "__main__":
     if os.environ.get("AESFHE_BENCH_CHILD"):
-        bps = run_leg(int(os.environ.get("AESFHE_BENCH_LOGN", "16")),
-                      int(os.environ.get("AESFHE_BENCH_LEVELS", "16")),
-                      int(os.environ.get("AESFHE_BENCH_ITERS", "1")))
+        bps, _ = run_leg(int(os.environ.get("AESFHE_BENCH_LOGN", "16")),
+                         int(os.environ.get("AESFHE_BENCH_LEVELS", "16")),
+                         int(os.environ.get("AESFHE_BENCH_ITERS", "1")))
         print(json.dumps({"metric": "cpu_leg", "value": bps, "unit": "",
                           "vs_baseline": 0.0}))
     else:

@@ -52,4 +52,8 @@ t1 = time.time()
 out2 = eng.bootstrap(low, rlk, conj, bk)
 np.asarray(out2.data[0, 0, :1])
 t(f"bootstrap #2 (warm): {time.time()-t1:.1f}s", t0)
-print("PROBE OK", flush=True)
+# gate the verdict on the exact decode, not on reaching the end: the whole
+# point of the probe is full-ring bootstrap ACCURACY, not liveness
+print("PROBE OK" if ok else f"PROBE FAIL (err {err:.4f}, exact decode {ok})",
+      flush=True)
+sys.exit(0 if ok else 1)

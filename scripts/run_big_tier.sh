@@ -7,8 +7,11 @@ cd "$(dirname "$0")/.."
 STAMP=$(date -u +%Y-%m-%dT%H:%M:%SZ)
 LOG=$(mktemp)
 START=$(date +%s)
-python -m pytest -m "big" -q --no-header "$@" 2>&1 | tee "$LOG"
+# capture pytest's own status (a `| tee` pipe would report tee's instead
+# under plain sh, logging "exit 0" even when the tests fail)
+python -m pytest -m "big" -q --no-header "$@" > "$LOG" 2>&1
 RC=$?
+cat "$LOG"
 DUR=$(( $(date +%s) - START ))
 {
   echo ""

@@ -53,7 +53,10 @@ def main():
 
     t(f"profile={profile} rounds={rounds} "
       f"backend={jax.default_backend()} dev={jax.devices()[0].device_kind}")
-    cfg = XORConfig(profile=profile, use_bootstrap=True)
+    # rotation_steps=(): skip the power-of-two rotation ladder (30 keys x
+    # ~220 MB at prod_boot -- it cannot share 16 GB HBM with the ~38
+    # bootstrap rotation keys); BitSliceService ensures its own 12 steps
+    cfg = XORConfig(profile=profile, use_bootstrap=True, rotation_steps=())
     wrap = EngineWrapper(cfg)
     eng = wrap.engine
     t(f"engine + keys ready (N=2^{eng.params.logn}, L={eng.params.max_level}, "
