@@ -53,10 +53,35 @@ class BootstrapKey:
     K: float = 0.0            # EvalMod input range |t| <= K
     cheb_deg: int = 31
     double_angles: int = 2    # each doubling amplifies noise ~4x, keep low
+    # CTS noise prescaling: run the CoeffToSlot chain on values f x larger
+    # (a_scale * f before the chain) and fold 1/f into the LAST group's
+    # diagonals.  Key-switch noise is additive in absolute coefficient
+    # units, so dividing signal+noise back down shrinks the rotation noise
+    # relative to the EvalMod input by ~f -- the noise then stops being
+    # amplified into garbage by the cos(theta_max * u) derivative
+    # (theta_max ~ 79 at prod_boot's h=192).  Bounded by modulus headroom
+    # (values ~K*f vs q_chain) and by multiply_plain quantization, which
+    # DOES scale with the value; f ~ 16-64 measured optimal.
+    prescale: float = 16.0
+    # High-precision CTS+EvalMod: run the bootstrap's noise-critical segment
+    # at an effective PAIRED-prime scale ~2^54 (plaintexts encoded at 2^54,
+    # every product rescaled by TWO chain primes).  The Chebyshev squaring
+    # ladder amplifies the per-op noise floor by ~theta_max^2 (~6e3 at
+    # h=192) and the STC aggregation adds another sqrt(slot_count), so the
+    # single-prime Delta=2^27 floor (~3e-6/op) lands at ~0.5 absolute error
+    # at N=2^16 -- unusable.  At 2^54 the floor is ~1e-13 and the residual
+    # is approximation-dominated.  This is the uint32-backend equivalent of
+    # HEaaN-class bootstraps running EvalMod at Delta ~ 2^45-2^60.  Costs
+    # ~2x levels on CTS+EvalMod (~34 total at prod_boot).
+    hi_prec: bool = False
     factored: bool = True
     # factored-transform plans: list of per-group dicts (see _group_plan)
     stc_plan: list = field(default_factory=list)
     cts_plan: list = field(default_factory=list)
+
+    @property
+    def hi_scale(self) -> float:
+        return float(2 ** 54)
 
 
 def _bsgs_split(n_slots: int) -> tuple[int, int]:
@@ -234,6 +259,10 @@ def create_bootstrap_key(engine, sk, small: bool = False,
     da = 2 if small else 1
     theta_max = (2 * np.pi * K + np.pi / 2) / (2 ** da)
     deg = int(1.3 * theta_max) + 24
+    # hi_prec: big rings NEED the paired-prime noise floor (see the field
+    # docstring); tiny CI rings keep the cheaper single-prime path their
+    # 82-level profiles and cleanse ladders were tuned around
+    hi_prec = params.n >= 4096
     if factored:
         stc_plan, cts_plan = build_factored_plans(params)
         steps = set()
@@ -244,7 +273,8 @@ def create_bootstrap_key(engine, sk, small: bool = False,
         if rot is None:
             rot = gen_rotation_keys(params, engine.tabs, sk, sorted(steps))
         return BootstrapKey(small=small, rot=rot, K=K, cheb_deg=deg,
-                            double_angles=da, factored=True,
+                            double_angles=da, factored=True, hi_prec=hi_prec,
+                            prescale=1.0 if hi_prec else 16.0,
                             stc_plan=stc_plan, cts_plan=cts_plan)
     baby, giant = _bsgs_split(sc)
     steps = set(range(1, baby))
@@ -314,7 +344,8 @@ def _apply_linear_map(engine, ct: Ciphertext, diag_fn, tag: str,
 
 
 def _apply_group(engine, ct: Ciphertext, plan: dict, tag: str,
-                 bk: BootstrapKey, scalar: complex = 1.0) -> Ciphertext:
+                 bk: BootstrapKey, scalar: complex = 1.0,
+                 hi: bool = False) -> Ciphertext:
     """Apply one grouped FFT-stage matrix (optionally scaled) with
     hoisted-BSGS.
 
@@ -322,7 +353,9 @@ def _apply_group(engine, ct: Ciphertext, plan: dict, tag: str,
     share one key-switch decomposition, giants rotate the per-gamma inner
     sums with pre-rolled diagonals.  `scalar` multiplies every diagonal
     (used to fold the -i of the CTS half-split into the last group for
-    free instead of spending a level on a scalar multiply)."""
+    free instead of spending a level on a scalar multiply).  `hi` encodes
+    the diagonals at the paired-prime hi_scale and rescales each product
+    twice (2 levels per group, ~2^-54 noise floor)."""
     params = engine.params
     sc = params.slot_count
     g, B = plan["g"], plan["B"]
@@ -332,19 +365,22 @@ def _apply_group(engine, ct: Ciphertext, plan: dict, tag: str,
     by_gamma: Dict[int, list] = {}
     for ent in plan["entries"]:
         by_gamma.setdefault(ent["gamma"], []).append(ent)
+    enc_scale = bk.hi_scale if hi else None
     out = None
     for gamma, ents in sorted(by_gamma.items()):
         shift = g * B * gamma
         acc = None
         for ent in ents:
             b_ct = baby_map[-g * ent["beta"]]
-            key = (id(params), tag, ent["delta"], b_ct.level)
+            key = (id(params), tag, hi, ent["delta"], b_ct.level)
             pt = _diag_cache.store.get(key)
             if pt is None:
                 pt = engine.encode(np.roll(ent["u"] * scalar, shift),
-                                   level=b_ct.level)
+                                   level=b_ct.level, scale=enc_scale)
                 _diag_cache.store[key] = pt
             term = engine.multiply_plain(b_ct, pt)
+            if hi:
+                term = engine._rescale(term)     # second prime of the pair
             acc = term if acc is None else engine.add(acc, term)
         if shift % sc:
             acc = engine.rotate(acc, bk.rot, (-shift) % sc)
@@ -353,9 +389,9 @@ def _apply_group(engine, ct: Ciphertext, plan: dict, tag: str,
 
 
 def _apply_chain(engine, ct: Ciphertext, plans: list, tag: str,
-                 bk: BootstrapKey) -> Ciphertext:
+                 bk: BootstrapKey, hi: bool = False) -> Ciphertext:
     for i, plan in enumerate(plans):
-        ct = _apply_group(engine, ct, plan, f"{tag}{i}", bk)
+        ct = _apply_group(engine, ct, plan, f"{tag}{i}", bk, hi=hi)
     return ct
 
 
@@ -438,7 +474,7 @@ def _cheb_basis(engine, u: Ciphertext, deg: int, rlk) -> List[Ciphertext]:
 
 
 def _cheb_eval_ps(engine, coeffs: np.ndarray, u: Ciphertext, rlk,
-                  baby: int = 8) -> Ciphertext:
+                  baby: int = 8, hi: bool = False) -> Ciphertext:
     """Paterson-Stockmeyer/BSGS evaluation of sum_i coeffs[i] * T_i(u).
 
     Materializes babies T_1..T_{baby-1} and power-of-two giants
@@ -446,7 +482,15 @@ def _cheb_eval_ps(engine, coeffs: np.ndarray, u: Ciphertext, rlk,
     T_{m+j} = 2 T_j T_m - T_{m-j}:  p = low + T_m * (2*q), deg(q) < m.
     ~2*sqrt(deg) multiplies at depth ~log2(deg)+1, replacing the reference-
     style dense power basis (255 sequential mults for the S-box,
-    /root/reference/sbox/sbox_service.py:93; SURVEY.md section 7 item 6)."""
+    /root/reference/sbox/sbox_service.py:93; SURVEY.md section 7 item 6).
+
+    `hi`: operands ride a paired-prime scale; every ct*ct product rescales
+    twice so the squaring ladder's ~deg^2 noise amplification acts on a
+    ~2^-54 floor instead of 2^-27 (see BootstrapKey.hi_prec)."""
+    def mul(a, b):
+        t = engine.multiply(a, b, rlk)
+        return engine._rescale(t) if hi else t
+
     deg = len(coeffs) - 1
     while deg > 0 and abs(coeffs[deg]) < 1e-14:
         deg -= 1
@@ -454,11 +498,11 @@ def _cheb_eval_ps(engine, coeffs: np.ndarray, u: Ciphertext, rlk,
     for m in range(2, baby):
         k = m // 2
         if m % 2 == 0:
-            t = engine.multiply(T[k], T[k], rlk)
+            t = mul(T[k], T[k])
             t = engine.add(t, t)
             T[m] = engine.add_plain(t, -1.0)
         else:
-            t = engine.multiply(T[k], T[k + 1], rlk)
+            t = mul(T[k], T[k + 1])
             t = engine.add(t, t)
             T[m] = engine.sub(t, T[1])
     m = baby
@@ -468,13 +512,13 @@ def _cheb_eval_ps(engine, coeffs: np.ndarray, u: Ciphertext, rlk,
         g *= 2
         if g not in T:
             k = g // 2
-            t = engine.multiply(T[k], T[k], rlk)
+            t = mul(T[k], T[k])
             t = engine.add(t, t)
             T[g] = engine.add_plain(t, -1.0)
     while g * 2 <= deg:
         g *= 2
         k = g // 2
-        t = engine.multiply(T[k], T[k], rlk)
+        t = mul(T[k], T[k])
         t = engine.add(t, t)
         T[g] = engine.add_plain(t, -1.0)
 
@@ -506,7 +550,7 @@ def _cheb_eval_ps(engine, coeffs: np.ndarray, u: Ciphertext, rlk,
                 low[mm - j] = low.get(mm - j, 0.0) - rest.get(mm + j, 0.0)
             q_ct, q_k = rec(q)
             if q_ct is not None:
-                parts.append(engine.multiply(T[mm], q_ct, rlk))
+                parts.append(mul(T[mm], q_ct))
             if abs(q_k) > 1e-14:
                 parts.append(engine.multiply(T[mm], q_k))
             lo_ct, lo_k = rec(low)
@@ -544,29 +588,58 @@ def _eval_mod(engine, u_raw: Ciphertext, bk: BootstrapKey, rlk,
               q0: int, delta: float,
               final_mult: complex = 1.0) -> Ciphertext:
     """input slots u_raw = x*a_scale (pre-scaled coefficients); returns
-    slots ~ m/Delta via Chebyshev cos + double angles + arcsine cubic."""
+    slots ~ m/Delta via Chebyshev cos + double angles + arcsine cubic.
+
+    With bk.hi_prec, u_raw arrives on the paired-prime scale and every
+    product rescales twice; the final renorm drops back to Delta so the
+    SlotToCoeff stage (whose noise is not amplified) runs single-prime."""
     params = engine.params
+    hi = bk.hi_prec
     K = bk.K
     r = bk.double_angles
+
+    def mul(a, b):
+        t = engine.multiply(a, b, rlk)
+        return engine._rescale(t) if hi else t
+
     _, b_shift, theta_max = eval_mod_scales(bk, q0, delta)
     u = engine.add_plain(u_raw, b_shift)
     coeffs = _chebyshev_coeffs(lambda v: np.cos(theta_max * v), bk.cheb_deg)
-    y = _cheb_eval_ps(engine, coeffs, u, rlk)
+    y = _cheb_eval_ps(engine, coeffs, u, rlk, hi=hi)
     for _ in range(r):
-        y2 = engine.multiply(y, y, rlk)
+        y2 = mul(y, y)
         y2 = engine.add(y2, y2)
         y = engine.add_plain(y2, -1.0)        # cos(2t) = 2cos^2 - 1
-    # y = sin(2 pi m / q0); message ~ arcsin(y) * q0/(2 pi Delta):
-    # cubic arcsine correction y + y^3/6 removes the (2 pi m/q0)^3/6 bias
-    y2 = engine.multiply(y, y, rlk)
-    y3 = engine.multiply(y2, y, rlk)
-    # renormalizing scalar multiplies: the squaring chain drifts the tracked
-    # scale (s -> s^2/q), and an add would drag the sum down to the worst
-    # operand's scale; both needed scalar multiplies re-target the scale
-    corr = engine.add(y, engine.multiply_renorm(y3, 1.0 / 6.0,
-                                                target_scale=y.scale))
-    return engine.multiply_renorm(corr,
-                                  final_mult * q0 / (2 * np.pi * delta))
+    # y = sin(2 pi m / q0); message ~ arcsin(y) * q0/(2 pi Delta).
+    # The cubic arcsine correction y + y^3/6 removes the (2 pi m/q0)^3/6
+    # bias — which scales as (Delta/(q0*sqrt(n)))^2 since CKKS coefficients
+    # of unit-modulus slots concentrate at sigma ~ Delta/sqrt(n).  On big
+    # rings (hi_prec) it is ~1e-7 relative, far below the CTS noise, so the
+    # two multiplies (4 levels at paired-prime rescale) are pure waste.
+    if hi:
+        corr = y
+    else:
+        y2 = mul(y, y)
+        y3 = mul(y2, y)
+        # renormalizing scalar multiplies: the squaring chain drifts the
+        # tracked scale (s -> s^2/q), and an add would drag the sum down to
+        # the worst operand's scale; both needed scalar multiplies re-target
+        # the scale
+        corr = engine.add(y, engine.multiply_renorm(y3, 1.0 / 6.0,
+                                                    target_scale=y.scale))
+    fm = final_mult * q0 / (2 * np.pi * delta)
+    if not hi:
+        return engine.multiply_renorm(corr, fm)
+    # paired-drop renorm back to Delta: encode the constant at a scale
+    # chosen so TWO rescales land exactly on params.scale (a single-drop
+    # renorm from ~2^54 would need an encode scale ~1, quantizing the
+    # constant itself to garbage)
+    q1 = float(params.q_primes[corr.level])
+    q2 = float(params.q_primes[corr.level - 1])
+    enc = params.scale * q1 * q2 / corr.scale
+    t = engine._mul_scalar(corr, complex(fm), enc)       # one rescale
+    out = engine._rescale(t)                             # second
+    return Ciphertext(out.data, params.scale)
 
 
 # ---------------------------------------------------------------------------
@@ -587,18 +660,30 @@ def bootstrap(engine, ct: Ciphertext, relin_key, conj_key,
     half = sc
 
     raised = _mod_raise(engine, ct)
-    # pre-normalize so CoeffToSlot operates on O(1) values (see eval_mod_scales)
+    # pre-normalize so CoeffToSlot operates on O(1) values (see
+    # eval_mod_scales); the factored path over-scales by `prescale` to keep
+    # the rotation key-switch noise small relative to the signal, folding
+    # the 1/prescale back into the last group's diagonals for free
     a_scale, _, _ = eval_mod_scales(bootstrap_key, q0, ct.scale)
-    raised = engine.multiply(raised, a_scale)
+    hi = bootstrap_key.hi_prec and bootstrap_key.factored
+    f = bootstrap_key.prescale if bootstrap_key.factored else 1.0
+    if hi:
+        # one scalar multiply both applies a_scale AND lifts the ciphertext
+        # onto the paired-prime scale (encode at hi_scale, single rescale)
+        raised = engine._mul_scalar(raised, a_scale * f,
+                                    bootstrap_key.hi_scale)
+    else:
+        raised = engine.multiply(raised, a_scale * f)
     if bootstrap_key.factored:
         # single CTS chain: slot k of y holds (c_br(k) + i*c_br(k)+sc)/(...)
         yp = _apply_chain(engine, raised, bootstrap_key.cts_plan[:-1],
-                          "fcts", bootstrap_key)
+                          "fcts", bootstrap_key, hi=hi)
         last = bootstrap_key.cts_plan[-1]
-        y_a = _apply_group(engine, yp, last, "fctsA", bootstrap_key)
+        y_a = _apply_group(engine, yp, last, f"fctsA{f:g}", bootstrap_key,
+                           scalar=1.0 / f, hi=hi)
         # -i folded into the last group's diagonals: no extra level
-        y_b = _apply_group(engine, yp, last, "fctsB", bootstrap_key,
-                           scalar=-1j)
+        y_b = _apply_group(engine, yp, last, f"fctsB{f:g}", bootstrap_key,
+                           scalar=-1j / f, hi=hi)
         ct_a = engine.add(y_a, engine.conjugate(y_a, conj_key))
         ct_b = engine.add(y_b, engine.conjugate(y_b, conj_key))
         m_a = _eval_mod(engine, ct_a, bootstrap_key, relin_key, q0, ct.scale)

@@ -198,22 +198,30 @@ def _digits_cols(x, lead, L, A):
     return d.reshape(lead + (L, A, NDIG * A))
 
 
-def _combine(s_parts, corr, mx, rowwise: bool):
-    """int32 partials [..., L, NDIG, R, C] -> uint32 mod q [..., L, R, C].
+def _combine(s_parts, corr, mx, rowwise: bool, digit_axis: int = -3):
+    """int32 partials with a digit axis -> uint32 mod q [..., L, R, C].
 
     val = sum_e 256^e * (S_e + corr_e - OFF) mod q: corr (int32 [L, NDIG, A],
     already + OFF) restores the byte-bias contribution; m_e = Barrett(S_e +
-    corr_e), then a Shoup combine subtracts the OFF bias once at the end."""
-    extra = s_parts.ndim - 4                    # dims before (L, NDIG, R, C)
+    corr_e), then a Shoup combine subtracts the OFF bias once at the end.
+
+    `digit_axis` gives the NDIG axis position: -3 for [..., L, NDIG, R, C]
+    (step-1 layout) or -2 for [..., L, R, NDIG, C] (step-2 einsum output,
+    consumed IN PLACE — transposing it first would materialize the 4x-size
+    int32 partials through HBM just to rearrange them, which measured as
+    ~35% of the whole NTT kernel)."""
+    assert digit_axis in (-3, -2)
+    extra = s_parts.ndim - 4                    # dims before the last four
     L, nd, a = corr.shape
-    corr_b = corr.reshape((1,) * extra + ((L, nd, a, 1) if rowwise
-                                          else (L, nd, 1, a)))
     magic = mx["magic"].reshape((1,) * extra + (-1, 1, 1))
     qv = mx["q"].reshape((1,) * extra + (-1, 1, 1))
-    shifted = (s_parts + corr_b).astype(jnp.uint32)
     acc = None
     for e in range(NDIG):
-        m_e = rns.barrett_reduce(shifted[..., e, :, :], qv, magic)
+        s_e = (s_parts[..., e, :, :] if digit_axis == -3
+               else s_parts[..., :, e, :])                  # [..., L, R|A, C]
+        corr_e = corr[:, e].reshape((1,) * extra + ((L, a, 1) if rowwise
+                                                    else (L, 1, a)))
+        m_e = rns.barrett_reduce((s_e + corr_e).astype(jnp.uint32), qv, magic)
         if e == 0:
             acc = m_e
         else:
@@ -245,8 +253,8 @@ def ntt_fwd_mxu(x, mx):
     B = rns.shoup_mul(S, mx["t_w"], mx["t_sh"], qv)
     bd = _digits_cols(B, lead, L, A)
     s2 = _einsum_i8("...lij,ljk->...lik", bd, mx["g"])   # [..., L, A, 4A]
-    s2 = jnp.moveaxis(s2.reshape(lead + (L, A, NDIG, A)), -2, -3)
-    out = _combine(s2, mx["gcorr"], mx, rowwise=False)
+    s2 = s2.reshape(lead + (L, A, NDIG, A))              # free (contiguous)
+    out = _combine(s2, mx["gcorr"], mx, rowwise=False, digit_axis=-2)
     return out.reshape(lead + (L, n))
 
 
@@ -259,8 +267,8 @@ def ntt_inv_mxu(x, mx):
     out_m = x.reshape(lead + (L, A, A))
     od = _digits_cols(out_m, lead, L, A)
     s1 = _einsum_i8("...lij,ljk->...lik", od, mx["gi"])
-    s1 = jnp.moveaxis(s1.reshape(lead + (L, A, NDIG, A)), -2, -3)
-    B = _combine(s1, mx["gicorr"], mx, rowwise=False)
+    s1 = s1.reshape(lead + (L, A, NDIG, A))
+    B = _combine(s1, mx["gicorr"], mx, rowwise=False, digit_axis=-2)
     qv = mx["q"].reshape((1,) * len(lead) + (L, 1, 1))
     S = rns.shoup_mul(B, mx["ti_w"], mx["ti_sh"], qv)
     sd = _digits_rows(S, lead, L, A)

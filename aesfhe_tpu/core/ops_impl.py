@@ -534,9 +534,17 @@ def _mod_down_specials(params: CKKSParams, tabs: DeviceTables, x, level: int):
     Fused one-shot mod-down: ONE batched iNTT over the K special rows, an
     approximate CRT base conversion P -> active q on the VPU, and ONE batched
     NTT over the q rows — instead of K sequential full-width NTT round trips.
-    The conversion error is bounded by K+1 coefficient units (the unreduced
-    CRT overshoot v*P plus flooring), i.e. ~2^-23 of one Delta=2^26 scale
-    unit — far below the key-switch noise this divides.
+
+    The raw conversion sum_i y_i*(P/p_i) equals [x]_P + v*P with a
+    data-dependent integer overshoot v in [0, K).  Left uncorrected, v has
+    MEAN K/2: a constant per-coefficient bias whose slot evaluation peaks at
+    (K/2)*(2N/pi)/Delta — ~1.2e-3 per key-switch at N=2^16/K=8/Delta=2^27,
+    which EvalMod's theta_max derivative then amplified into the round-3
+    full-ring bootstrap failure (err ~2e4).  The correction estimates
+    v_hat = round(sum_i y_i/p_i) in f32 (exact away from half-integer
+    boundaries; the 8-term f32 sum error ~1e-7 makes a +-1 slip vanishingly
+    rare and zero-mean) and subtracts v_hat*P, leaving a centered residual
+    with |error| <= 1 unit and ~zero bias.
     """
     K = params.num_special
     lp1 = level + 1
@@ -566,6 +574,17 @@ def _mod_down_specials(params: CKKSParams, tabs: DeviceTables, x, level: int):
             y[..., i:i + 1, :],
             shp(mdt["conv_w"][i], lp1), shp(mdt["conv_sh"][i], lp1), qv)
         conv = term if conv is None else rns.add_mod(conv, term, qv)
+
+    # 2b) centered overshoot correction: v_hat = round(sum_i y_i / p_i),
+    # conv -= v_hat * (P mod q_m)
+    inv_p = jnp.asarray((1.0 / np.asarray(params.special_primes,
+                                          dtype=np.float64)).astype(np.float32)
+                        ).reshape((1,) * nl + (K, 1))
+    frac = jnp.sum(y.astype(jnp.float32) * inv_p, axis=-2, keepdims=True)
+    vhat = jnp.round(frac).astype(jnp.uint32)                # [..., 1, N] < K
+    corr = rns.shoup_mul(vhat, shp(mdt["pmod_w"], lp1),
+                         shp(mdt["pmod_sh"], lp1), qv)
+    conv = rns.sub_mod(conv, corr, qv)
 
     # 3) back to Montgomery eval domain (one batched NTT over the q rows)
     conv_m = rns.to_mont(conv, qv, shp(tr_q["qinv"], lp1),

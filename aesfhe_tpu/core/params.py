@@ -241,6 +241,8 @@ class CKKSParams:
         conv_sh = np.zeros((K, lp1), dtype=np.uint32)
         pinv_w = np.zeros(lp1, dtype=np.uint32)
         pinv_sh = np.zeros(lp1, dtype=np.uint32)
+        pmod_w = np.zeros(lp1, dtype=np.uint32)
+        pmod_sh = np.zeros(lp1, dtype=np.uint32)
         for i, p in enumerate(self.special_primes):
             hat = P // p
             w = pow(hat % p, -1, p)
@@ -256,8 +258,12 @@ class CKKSParams:
             w = pow(P % qm, -1, qm)
             pinv_w[m] = w
             pinv_sh[m] = rns.shoup_precompute(w, qm)
+            pm = P % qm
+            pmod_w[m] = pm
+            pmod_sh[m] = rns.shoup_precompute(pm, qm)
         tabs = dict(inv_w=inv_w, inv_sh=inv_sh, conv_w=conv_w,
-                    conv_sh=conv_sh, pinv_w=pinv_w, pinv_sh=pinv_sh)
+                    conv_sh=conv_sh, pinv_w=pinv_w, pinv_sh=pinv_sh,
+                    pmod_w=pmod_w, pmod_sh=pmod_sh)
         self._md_tables_cache[level] = tabs
         return tabs
 

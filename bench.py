@@ -242,11 +242,14 @@ def main():
                 cpu_bps = None
         vs = device_bps / cpu_bps if cpu_bps else 0.0
     blocks = (1 << logn) // 32
-    unit = ("AES blocks/s (full bit-sliced round, "
-            f"{2 * blocks}-block SIMD batch)" if MODE == "bitplane" else
-            f"AES blocks/s ({blocks}-block SIMD ARK+SubBytes step)")
-    metric = ("aes_fhe_full_round_blocks_per_s" if MODE == "bitplane" else
-              "aes_fhe_ark_subbytes_round_step_blocks_per_s")
+    # the flagship fallback leg runs the bitplane setup (run_leg), so label
+    # it as such; only an explicit MODE=zeta selects the zeta step metric
+    unit = (f"AES blocks/s ({blocks}-block SIMD ARK+SubBytes step)"
+            if MODE == "zeta" else
+            "AES blocks/s (full bit-sliced round, "
+            f"{2 * blocks}-block SIMD batch)")
+    metric = ("aes_fhe_ark_subbytes_round_step_blocks_per_s"
+              if MODE == "zeta" else "aes_fhe_full_round_blocks_per_s")
     print(json.dumps({
         "metric": metric,
         "value": round(device_bps, 3),

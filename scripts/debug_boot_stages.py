@@ -7,7 +7,7 @@ Usage: python scripts/debug_boot_stages.py [logn] [h] [specials] [L]
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = os.environ.get("AESFHE_DEBUG_PLATFORM", "cpu")
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
@@ -73,10 +73,20 @@ I = np.round((coeff_r - coeff_q0) / q0)
 print(f"modraise: max|I|={np.abs(I).max():.1f}  K={bk.K:.2f}  "
       f"sigma_I={np.std(I):.2f}  n_I_over_K={(np.abs(I) > bk.K).sum()}")
 
+if os.environ.get("AESFHE_BOOT_PRESCALE"):
+    bk.prescale = float(os.environ["AESFHE_BOOT_PRESCALE"])
+if os.environ.get("AESFHE_BOOT_HIPREC"):
+    bk.hi_prec = os.environ["AESFHE_BOOT_HIPREC"] == "1"
+hi = bk.hi_prec
+f = bk.prescale
 a_scale, b_shift, theta_max = bs.eval_mod_scales(bk, q0, low.scale)
-pre = eng.multiply(raised, a_scale)
+if hi:
+    pre = eng._mul_scalar(raised, a_scale * f, bk.hi_scale)
+else:
+    pre = eng.multiply(raised, a_scale * f)
 d_pre = eng.decrypt(pre, sk)
-exp_pre = d_raised * a_scale
+exp_pre = d_raised * a_scale * f
+print(f"prescale f={f:g} hi_prec={hi}")
 print(f"a_scale mult: err={np.abs(d_pre - exp_pre).max():.3e} "
       f"max|u_pre|={np.abs(d_pre).max():.3f}")
 
@@ -86,7 +96,7 @@ print(f"a_scale mult: err={np.abs(d_pre - exp_pre).max():.3e} "
 cur = pre
 d_cur = d_pre
 for i, plan in enumerate(bk.cts_plan[:-1]):
-    cur = bs._apply_group(eng, cur, plan, f"dbg_fcts{i}", bk)
+    cur = bs._apply_group(eng, cur, plan, f"dbg_fcts{i}", bk, hi=hi)
     # host-apply the same grouped matrix
     mat = {e["delta"]: e["u"] for e in plan["entries"]}
     d_exp = bs._diag_apply_host(mat, d_cur)
@@ -95,9 +105,11 @@ for i, plan in enumerate(bk.cts_plan[:-1]):
           f"max|val|={np.abs(d_dec).max():.3f} lvl={cur.level}")
     d_cur = d_dec
 last = bk.cts_plan[-1]
-y_a = bs._apply_group(eng, cur, last, "dbg_fctsA", bk)
-y_b = bs._apply_group(eng, cur, last, "dbg_fctsB", bk, scalar=-1j)
-mat = {e["delta"]: e["u"] for e in last["entries"]}
+y_a = bs._apply_group(eng, cur, last, f"dbg_fctsA{f:g}", bk,
+                      scalar=1.0 / f, hi=hi)
+y_b = bs._apply_group(eng, cur, last, f"dbg_fctsB{f:g}", bk,
+                      scalar=-1j / f, hi=hi)
+mat = {e["delta"]: e["u"] / f for e in last["entries"]}
 exp_a = bs._diag_apply_host(mat, d_cur)
 d_ya = eng.decrypt(y_a, sk)
 print(f"cts last A: err={np.abs(d_ya - exp_a).max():.3e} "
@@ -122,7 +134,8 @@ u_h = np.real(d_a) + b_shift
 y_h = np.cos(theta_max * u_h)
 for _ in range(r):
     y_h = 2 * y_h * y_h - 1
-y_h = y_h + y_h ** 3 / 6
+if not hi:
+    y_h = y_h + y_h ** 3 / 6
 exp_ma = y_h * q0 / (2 * np.pi * low.scale)
 print(f"evalmod A: err={np.abs(d_ma - exp_ma).max():.3e} "
       f"max|m|={np.abs(d_ma).max():.3f} lvl={m_a.level}")

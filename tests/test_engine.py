@@ -177,9 +177,11 @@ def test_deep_circuit_precision(tiny_engine):
 
 def test_fused_mod_down_matches_exact(tiny_engine):
     # The production key-switch mod-down is a fused one-shot approximate CRT
-    # base conversion; its divergence from the exact (sequential, rounding)
-    # division is bounded by K+1 coefficient units (ops_impl._mod_down_specials
-    # docstring).  Verify on a real key-switch accumulator state.
+    # base conversion WITH a centered overshoot correction; its divergence
+    # from the exact (sequential, rounding) division is <= ~1 coefficient
+    # unit and ~zero-mean (ops_impl._mod_down_specials docstring -- the
+    # uncorrected K/2-mean bias was the root cause of the round-3 full-ring
+    # bootstrap failure).  Verify on a real key-switch accumulator state.
     import jax.numpy as jnp
     from aesfhe_tpu.core import ops_impl, rns
     E = tiny_engine
@@ -209,7 +211,11 @@ def test_fused_mod_down_matches_exact(tiny_engine):
     qcol = params.q_arr[:lp1].astype(np.int64)[:, None]
     diff = (pf.astype(np.int64) - pe.astype(np.int64)) % qcol
     diff = np.minimum(diff, qcol - diff)
-    assert diff.max() <= K + 1, diff.max()
+    assert diff.max() <= 2, diff.max()
+    # and the residual must be unbiased (the bias is what killed bootstrap)
+    sdiff = (pf.astype(np.int64) - pe.astype(np.int64)) % qcol
+    sdiff = np.where(sdiff > qcol // 2, sdiff - qcol, sdiff)
+    assert abs(sdiff.mean()) < 0.5, sdiff.mean()
 
 
 def test_linear_combination_dense_coeffs(tiny_engine):
