@@ -124,7 +124,38 @@ exp_ua = (exp_a + np.conj(exp_a))
 print(f"conj-add A: err={np.abs(d_a - exp_ua).max():.3e} "
       f"max|u|={np.abs(d_a).max():.4f} (K-margin: u in [-1,1])")
 
-# ---- EvalMod ----------------------------------------------------------
+# ---- EvalMod internals (real input) -----------------------------------
+if os.environ.get("AESFHE_DEBUG_EVALMOD_INTERNAL") == "1":
+    hi_f = bk.hi_prec
+
+    def _mul(a, b):
+        t = eng.multiply(a, b, rlk)
+        return eng._rescale(t) if hi_f else t
+
+    u_ct = eng.add_plain(ct_a, b_shift)
+    u_h = np.real(eng.decrypt(u_ct, sk))
+    acos = np.arccos(np.clip(u_h, -1, 1))
+    print(f"u: max|u|={np.abs(u_h).max():.4f} scale=2^"
+          f"{np.log2(u_ct.scale):.3f} lvl={u_ct.level}", flush=True)
+    T = {1: u_ct}
+    g = 1
+    while g * 2 <= bk.cheb_deg:
+        g *= 2
+        k = g // 2
+        t = _mul(T[k], T[k])
+        t = eng.add(t, t)
+        T[g] = eng.add_plain(t, -1.0)
+        d = np.real(eng.decrypt(T[g], sk))
+        print(f"T_{g:3d}: err={np.abs(d - np.cos(g * acos)).max():.3e} "
+              f"scale=2^{np.log2(T[g].scale):.3f} lvl={T[g].level}",
+              flush=True)
+    coeffs_h = bs._chebyshev_coeffs(lambda v: np.cos(theta_max * v),
+                                    bk.cheb_deg)
+    y_ct = bs._cheb_eval_ps(eng, coeffs_h, u_ct, rlk, hi=hi_f)
+    d = np.real(eng.decrypt(y_ct, sk))
+    print(f"cheb: err={np.abs(d - np.cos(theta_max * u_h)).max():.3e} "
+          f"scale=2^{np.log2(y_ct.scale):.3f} lvl={y_ct.level}", flush=True)
+
 m_a = bs._eval_mod(eng, ct_a, bk, rlk, q0, low.scale)
 m_b = bs._eval_mod(eng, ct_b, bk, rlk, q0, low.scale, final_mult=1j)
 d_ma = eng.decrypt(m_a, sk)
