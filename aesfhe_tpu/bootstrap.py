@@ -365,14 +365,23 @@ def _apply_group(engine, ct: Ciphertext, plan: dict, tag: str,
     by_gamma: Dict[int, list] = {}
     for ent in plan["entries"]:
         by_gamma.setdefault(ent["gamma"], []).append(ent)
-    enc_scale = bk.hi_scale if hi else None
+    # hi: encode diagonals at the scale that makes the TWO rescales land on
+    # exactly hi_scale -- per-group drift correction (see _cheb_eval_ps's
+    # drift note); the babies share ct's level and scale
+    if hi:
+        lvl = ct.level
+        enc_scale = (bk.hi_scale * float(params.q_primes[lvl]) *
+                     float(params.q_primes[lvl - 1]) / ct.scale)
+    else:
+        enc_scale = None
     out = None
     for gamma, ents in sorted(by_gamma.items()):
         shift = g * B * gamma
         acc = None
         for ent in ents:
             b_ct = baby_map[-g * ent["beta"]]
-            key = (id(params), tag, hi, ent["delta"], b_ct.level)
+            key = (id(params), tag, hi, ent["delta"], b_ct.level,
+                   round(np.log2(b_ct.scale) * 1e6))
             pt = _diag_cache.store.get(key)
             if pt is None:
                 pt = engine.encode(np.roll(ent["u"] * scalar, shift),
@@ -486,10 +495,32 @@ def _cheb_eval_ps(engine, coeffs: np.ndarray, u: Ciphertext, rlk,
 
     `hi`: operands ride a paired-prime scale; every ct*ct product rescales
     twice so the squaring ladder's ~deg^2 noise amplification acts on a
-    ~2^-54 floor instead of 2^-27 (see BootstrapKey.hi_prec)."""
+    ~2^-54 floor instead of 2^-27 (see BootstrapKey.hi_prec).  The ladder
+    steps fold the x2 doubling into a renormalizing scalar multiply that
+    re-targets the EXACT input scale: without it the tracked scale drifts
+    multiplicatively (s -> s^2/(q*q') per squaring), and on prime chains
+    whose pairs sit systematically off 2^54 (the sparse 2N | p-1 pool at
+    N=2^16) six sequential squarings collapsed the scale by 2^6+ and the
+    compounding constant-encode quantization pushed T_k out of [-1, 1] —
+    2*T^2 - gamma with gamma != 1 diverges — which is how the first
+    full-ring hi_prec bootstrap still failed while n=2^10 (denser prime
+    pool, milder drift) passed."""
     def mul(a, b):
         t = engine.multiply(a, b, rlk)
         return engine._rescale(t) if hi else t
+
+    def step2(a, b):
+        """2*a*b: multiply (+ extra paired rescale when hi), then double.
+        The tracked scale drifts multiplicatively (s -> s^2/(q*q') per
+        squaring) but the ENGINE tracks it truthfully (exact integer-based
+        scale accounting in _mul_scalar/_adjust_scale), so the -1 constants
+        and cross-scale adds stay correct; re-targeting the scale here with
+        a renormalizing multiply would need an encode scale ~1 (the product
+        is only one prime above the ladder scale), whose integer rounding
+        IS a scale lie -- measured as T_k escaping [-1,1] and a garbage
+        bootstrap."""
+        t = mul(a, b)
+        return engine.add(t, t)
 
     deg = len(coeffs) - 1
     while deg > 0 and abs(coeffs[deg]) < 1e-14:
@@ -498,13 +529,9 @@ def _cheb_eval_ps(engine, coeffs: np.ndarray, u: Ciphertext, rlk,
     for m in range(2, baby):
         k = m // 2
         if m % 2 == 0:
-            t = mul(T[k], T[k])
-            t = engine.add(t, t)
-            T[m] = engine.add_plain(t, -1.0)
+            T[m] = engine.add_plain(step2(T[k], T[k]), -1.0)
         else:
-            t = mul(T[k], T[k + 1])
-            t = engine.add(t, t)
-            T[m] = engine.sub(t, T[1])
+            T[m] = engine.sub(step2(T[k], T[k + 1]), T[1])
     m = baby
     # giants by repeated doubling (baby must be a power of two)
     g = 1
@@ -512,15 +539,11 @@ def _cheb_eval_ps(engine, coeffs: np.ndarray, u: Ciphertext, rlk,
         g *= 2
         if g not in T:
             k = g // 2
-            t = mul(T[k], T[k])
-            t = engine.add(t, t)
-            T[g] = engine.add_plain(t, -1.0)
+            T[g] = engine.add_plain(step2(T[k], T[k]), -1.0)
     while g * 2 <= deg:
         g *= 2
         k = g // 2
-        t = mul(T[k], T[k])
-        t = engine.add(t, t)
-        T[g] = engine.add_plain(t, -1.0)
+        T[g] = engine.add_plain(step2(T[k], T[k]), -1.0)
 
     def rec(c: Dict[int, float]):
         """-> (ciphertext | None, constant): value = ct + constant."""
@@ -630,16 +653,15 @@ def _eval_mod(engine, u_raw: Ciphertext, bk: BootstrapKey, rlk,
     fm = final_mult * q0 / (2 * np.pi * delta)
     if not hi:
         return engine.multiply_renorm(corr, fm)
-    # paired-drop renorm back to Delta: encode the constant at a scale
-    # chosen so TWO rescales land exactly on params.scale (a single-drop
-    # renorm from ~2^54 would need an encode scale ~1, quantizing the
-    # constant itself to garbage)
+    # paired-drop renorm back to ~Delta: encode the constant at a scale
+    # chosen so TWO rescales land on params.scale (a single-drop renorm
+    # from ~2^54 would need an encode scale ~1, quantizing the constant
+    # itself to garbage).  _mul_scalar tracks the true scale; no relabel.
     q1 = float(params.q_primes[corr.level])
     q2 = float(params.q_primes[corr.level - 1])
     enc = params.scale * q1 * q2 / corr.scale
     t = engine._mul_scalar(corr, complex(fm), enc)       # one rescale
-    out = engine._rescale(t)                             # second
-    return Ciphertext(out.data, params.scale)
+    return engine._rescale(t)                            # second
 
 
 # ---------------------------------------------------------------------------
@@ -669,9 +691,10 @@ def bootstrap(engine, ct: Ciphertext, relin_key, conj_key,
     f = bootstrap_key.prescale if bootstrap_key.factored else 1.0
     if hi:
         # one scalar multiply both applies a_scale AND lifts the ciphertext
-        # onto the paired-prime scale (encode at hi_scale, single rescale)
-        raised = engine._mul_scalar(raised, a_scale * f,
-                                    bootstrap_key.hi_scale)
+        # onto the paired-prime scale; renorm form so the result lands on
+        # EXACTLY hi_scale (drift hygiene: every later renorm targets it)
+        raised = engine.multiply_renorm(raised, a_scale * f,
+                                        target_scale=bootstrap_key.hi_scale)
     else:
         raised = engine.multiply(raised, a_scale * f)
     if bootstrap_key.factored:
@@ -681,9 +704,11 @@ def bootstrap(engine, ct: Ciphertext, relin_key, conj_key,
         last = bootstrap_key.cts_plan[-1]
         y_a = _apply_group(engine, yp, last, f"fctsA{f:g}", bootstrap_key,
                            scalar=1.0 / f, hi=hi)
-        # -i folded into the last group's diagonals: no extra level
-        y_b = _apply_group(engine, yp, last, f"fctsB{f:g}", bootstrap_key,
-                           scalar=-1j / f, hi=hi)
+        # y_b = (-i*G) x = -i * (G x): one EXACT zeta4 scalar multiply
+        # (multiply_i: no level, no noise) replaces a second full group
+        # evaluation -- and its ~63 cached dense diagonal plaintexts, which
+        # at N=2^16 cost ~850 MB of HBM
+        y_b = engine.negate(engine.multiply_i(y_a))
         ct_a = engine.add(y_a, engine.conjugate(y_a, conj_key))
         ct_b = engine.add(y_b, engine.conjugate(y_b, conj_key))
         m_a = _eval_mod(engine, ct_a, bootstrap_key, relin_key, q0, ct.scale)

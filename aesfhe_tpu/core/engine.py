@@ -37,7 +37,14 @@ from .keys import (SecretKey, PublicKey, SwitchKey, GaloisKeySet,
                    gen_secret_key, gen_public_key, gen_relin_key,
                    gen_galois_key, gen_rotation_keys)
 
-_SCALE_TOL = 1e-9
+# Two thresholds: _SCALE_TOL decides when an ALIGNMENT step (adjust_scale,
+# costing a level) is worth triggering; _SCALE_ACCEPT bounds the residual
+# mismatch treated as a harmless value error at hard-check sites that
+# cannot align (dense-plaintext adds, mixed combinations).  Truthful scale
+# tracking (_true_sigma) leaves residues up to 0.5/sigma ~ 2^-27 after an
+# adjust, which must pass the accept check without re-triggering work.
+_SCALE_TOL = 1e-7
+_SCALE_ACCEPT = 1e-7
 
 
 @functools.partial(jax.jit, static_argnums=0)
@@ -342,8 +349,11 @@ class Engine:
         return jnp.asarray(out)
 
     def _adjust_scale(self, ct: Ciphertext, target_scale: float) -> Ciphertext:
-        """Multiply by 1.0 encoded at sigma so that after rescale the scale is
-        exactly target_scale.  Consumes one level."""
+        """Multiply by 1.0 encoded at sigma so that after rescale the scale
+        is ~target_scale.  Consumes one level.  The returned scale is the
+        TRUE one, ct.scale * round(sigma) / qprod -- within 0.5/sigma of
+        the target; relabelling it as exactly `target_scale` was a scale
+        lie that broke drifted high-precision chains (see _true_sigma)."""
         self._check_levels(ct.level)
         qprod = 1.0
         for i in range(self.params.rescale_primes):
@@ -352,9 +362,8 @@ class Engine:
         consts = self._scalar_mul_consts(1.0 + 0j, sigma, ct.level, mont=False)
         data = ops_impl.ct_mul_scalar_pt(self.params, self.tabs, ct.data,
                                          consts)
-        tmp = Ciphertext(data, ct.scale * sigma)
-        out = self._rescale(tmp)
-        return Ciphertext(out.data, target_scale)
+        tmp = Ciphertext(data, ct.scale * round(sigma))
+        return self._rescale(tmp)
 
     def _align_add(self, a: Ciphertext, b: Ciphertext):
         lvl = min(a.level, b.level)
@@ -393,7 +402,7 @@ class Engine:
         return self._add_dense_pt(a, pt.data, pt.scale)
 
     def _add_dense_pt(self, a: Ciphertext, pt_data, pt_scale) -> Ciphertext:
-        if abs(a.scale - pt_scale) / max(a.scale, pt_scale) > _SCALE_TOL:
+        if abs(a.scale - pt_scale) / max(a.scale, pt_scale) > _SCALE_ACCEPT:
             raise ValueError("plaintext scale mismatch in add")
         level = a.level
         tr = ops_impl._tabs_rows(self.tabs,
@@ -464,6 +473,24 @@ class Engine:
         pt = self.encode(b, level=a.level, scale=self.params.scale)
         return self._mul_ct_pt(a, pt)
 
+    @staticmethod
+    def _true_sigma(value: complex, scale: float) -> float:
+        """The scale at which round(value*scale) represents `value` EXACTLY.
+
+        The encoded integer m = round(v*sigma) differs from v*sigma by up
+        to 0.5; claiming the result is at scale sigma is therefore a LIE of
+        relative size 0.5/(v*sigma).  Harmless at sigma ~ 2^27, but scale-
+        drifted high-precision chains produce renorm/adjust multiplies with
+        small sigma, where the lie compounds through squaring ladders into
+        bounded garbage (T_k escaping [-1,1]: 2T^2 - gamma with gamma != 1
+        diverges) -- the round-3 N=2^16 bootstrap failure.  For axis-real
+        scalars the lie is removable: track sigma' = m / value instead."""
+        if value.imag == 0 and value.real != 0:
+            return round(value.real * scale) / value.real
+        if value.real == 0 and value.imag != 0:
+            return round(value.imag * scale) / value.imag
+        return scale
+
     def _mul_scalar(self, a: Ciphertext, value: complex,
                     scale: float) -> Ciphertext:
         self._check_levels(a.level)
@@ -471,7 +498,8 @@ class Engine:
         consts = self._scalar_mul_consts(value, scale, a.level, mont=False)
         data = ops_impl.ct_mul_scalar_pt(self.params, self.tabs, a.data,
                                          consts)
-        return self._rescale(Ciphertext(data, a.scale * scale))
+        sigma = self._true_sigma(complex(value), scale)
+        return self._rescale(Ciphertext(data, a.scale * sigma))
 
     def multiply_plain(self, ct: Ciphertext, val) -> Ciphertext:
         return self._mul_ct_pt(ct, val)
@@ -781,11 +809,11 @@ class Engine:
         self._check_levels(lvl)
         base_scale = all_cts[0].scale
         for ct in all_cts:
-            if abs(ct.scale - base_scale) / base_scale > _SCALE_TOL:
+            if abs(ct.scale - base_scale) / base_scale > _SCALE_ACCEPT:
                 raise ValueError("linear_combination input scales differ")
         target = self.params.scale
         for _, pt in dense_pairs:
-            if abs(pt.scale - target) / target > _SCALE_TOL:
+            if abs(pt.scale - target) / target > _SCALE_ACCEPT:
                 raise ValueError("dense coefficient plaintexts must be at "
                                  "scale Delta")
         deg = max(ct.degree for ct in all_cts)
@@ -837,10 +865,10 @@ class Engine:
         scale_a = la[0].scale
         scale_b = rb[0].scale
         for ct in la:
-            if abs(ct.scale - scale_a) / scale_a > _SCALE_TOL:
+            if abs(ct.scale - scale_a) / scale_a > _SCALE_ACCEPT:
                 raise ValueError("inner_product lhs scales differ")
         for ct in rb:
-            if abs(ct.scale - scale_b) / scale_b > _SCALE_TOL:
+            if abs(ct.scale - scale_b) / scale_b > _SCALE_ACCEPT:
                 raise ValueError("inner_product rhs scales differ")
         a_stack = jnp.stack([ct.data for ct in la])    # [K, 2, l+1, N]
         b_stack = jnp.stack([ct.data for ct in rb])

@@ -234,7 +234,11 @@ class BitSliceService:
         out: Dict[int, Ciphertext] = {}
         for u in range(1, 16):
             ct = P[u]
-            if abs(ct.scale - s2) / s2 > 1e-9:
+            # tolerance above the truthful-adjust residue (~0.5/sigma,
+            # core/engine._SCALE_ACCEPT): a sub-1e-7 mismatch is a value
+            # error far below the Walsh sign margin, while re-adjusting a
+            # ciphertext already AT lvl2 would land below it
+            if abs(ct.scale - s2) / s2 > 1e-7:
                 ct = eng._adjust_scale(ct, s2)
             out[u] = eng._drop(ct, lvl2)
         return out
@@ -404,7 +408,7 @@ class BitSliceService:
         target = min(scales)
         aligned = []
         for ct in out:
-            if abs(ct.scale - target) / target > 1e-9:
+            if abs(ct.scale - target) / target > 1e-7:
                 ct = eng._adjust_scale(ct, target)
             aligned.append(eng._drop(ct, min(lvl, ct.level)))
         lvl = min(ct.level for ct in aligned)

@@ -107,8 +107,7 @@ for i, plan in enumerate(bk.cts_plan[:-1]):
 last = bk.cts_plan[-1]
 y_a = bs._apply_group(eng, cur, last, f"dbg_fctsA{f:g}", bk,
                       scalar=1.0 / f, hi=hi)
-y_b = bs._apply_group(eng, cur, last, f"dbg_fctsB{f:g}", bk,
-                      scalar=-1j / f, hi=hi)
+y_b = eng.negate(eng.multiply_i(y_a))
 mat = {e["delta"]: e["u"] / f for e in last["entries"]}
 exp_a = bs._diag_apply_host(mat, d_cur)
 d_ya = eng.decrypt(y_a, sk)
@@ -127,6 +126,7 @@ print(f"conj-add A: err={np.abs(d_a - exp_ua).max():.3e} "
 # ---- EvalMod internals (real input) -----------------------------------
 if os.environ.get("AESFHE_DEBUG_EVALMOD_INTERNAL") == "1":
     hi_f = bk.hi_prec
+    del cur, y_a, y_b, ct_b, raised, pre     # HBM hygiene (16 GB budget)
 
     def _mul(a, b):
         t = eng.multiply(a, b, rlk)
@@ -155,6 +155,7 @@ if os.environ.get("AESFHE_DEBUG_EVALMOD_INTERNAL") == "1":
     d = np.real(eng.decrypt(y_ct, sk))
     print(f"cheb: err={np.abs(d - np.cos(theta_max * u_h)).max():.3e} "
           f"scale=2^{np.log2(y_ct.scale):.3f} lvl={y_ct.level}", flush=True)
+    sys.exit(0)
 
 m_a = bs._eval_mod(eng, ct_a, bk, rlk, q0, low.scale)
 m_b = bs._eval_mod(eng, ct_b, bk, rlk, q0, low.scale, final_mult=1j)
