@@ -345,7 +345,8 @@ def _apply_linear_map(engine, ct: Ciphertext, diag_fn, tag: str,
 
 def _apply_group(engine, ct: Ciphertext, plan: dict, tag: str,
                  bk: BootstrapKey, scalar: complex = 1.0,
-                 hi: bool = False) -> Ciphertext:
+                 hi: bool = False,
+                 out_scale: float | None = None) -> Ciphertext:
     """Apply one grouped FFT-stage matrix (optionally scaled) with
     hoisted-BSGS.
 
@@ -366,11 +367,15 @@ def _apply_group(engine, ct: Ciphertext, plan: dict, tag: str,
     for ent in plan["entries"]:
         by_gamma.setdefault(ent["gamma"], []).append(ent)
     # hi: encode diagonals at the scale that makes the TWO rescales land on
-    # exactly hi_scale -- per-group drift correction (see _cheb_eval_ps's
-    # drift note); the babies share ct's level and scale
+    # exactly out_scale (default hi_scale) -- per-group drift correction
+    # (see _cheb_eval_ps's drift note); the babies share ct's level and
+    # scale.  out_scale lets a group change precision tier for free: the
+    # first CTS group lifts Delta -> hi_scale (absorbing a_scale), the
+    # first STC group drops hi_scale -> Delta (absorbing q0/(2 pi Delta)).
     if hi:
         lvl = ct.level
-        enc_scale = (bk.hi_scale * float(params.q_primes[lvl]) *
+        tgt = bk.hi_scale if out_scale is None else out_scale
+        enc_scale = (tgt * float(params.q_primes[lvl]) *
                      float(params.q_primes[lvl - 1]) / ct.scale)
     else:
         enc_scale = None
@@ -614,8 +619,10 @@ def _eval_mod(engine, u_raw: Ciphertext, bk: BootstrapKey, rlk,
     slots ~ m/Delta via Chebyshev cos + double angles + arcsine cubic.
 
     With bk.hi_prec, u_raw arrives on the paired-prime scale and every
-    product rescales twice; the final renorm drops back to Delta so the
-    SlotToCoeff stage (whose noise is not amplified) runs single-prime."""
+    product rescales twice; the result is returned RAW (y = sin value, at
+    the hi scale, final_mult ignored) -- the caller folds q0/(2 pi Delta)
+    and the hi -> Delta drop into the first SlotToCoeff group's diagonals,
+    saving the two renorm levels."""
     params = engine.params
     hi = bk.hi_prec
     K = bk.K
@@ -650,18 +657,10 @@ def _eval_mod(engine, u_raw: Ciphertext, bk: BootstrapKey, rlk,
         # the scale
         corr = engine.add(y, engine.multiply_renorm(y3, 1.0 / 6.0,
                                                     target_scale=y.scale))
+    if hi:
+        return corr          # raw sin value at the hi scale (see docstring)
     fm = final_mult * q0 / (2 * np.pi * delta)
-    if not hi:
-        return engine.multiply_renorm(corr, fm)
-    # paired-drop renorm back to ~Delta: encode the constant at a scale
-    # chosen so TWO rescales land on params.scale (a single-drop renorm
-    # from ~2^54 would need an encode scale ~1, quantizing the constant
-    # itself to garbage).  _mul_scalar tracks the true scale; no relabel.
-    q1 = float(params.q_primes[corr.level])
-    q2 = float(params.q_primes[corr.level - 1])
-    enc = params.scale * q1 * q2 / corr.scale
-    t = engine._mul_scalar(corr, complex(fm), enc)       # one rescale
-    return engine._rescale(t)                            # second
+    return engine.multiply_renorm(corr, fm)
 
 
 # ---------------------------------------------------------------------------
@@ -689,19 +688,23 @@ def bootstrap(engine, ct: Ciphertext, relin_key, conj_key,
     a_scale, _, _ = eval_mod_scales(bootstrap_key, q0, ct.scale)
     hi = bootstrap_key.hi_prec and bootstrap_key.factored
     f = bootstrap_key.prescale if bootstrap_key.factored else 1.0
-    if hi:
-        # one scalar multiply both applies a_scale AND lifts the ciphertext
-        # onto the paired-prime scale; renorm form so the result lands on
-        # EXACTLY hi_scale (drift hygiene: every later renorm targets it)
-        raised = engine.multiply_renorm(raised, a_scale * f,
-                                        target_scale=bootstrap_key.hi_scale)
-    else:
+    if not hi:
         raised = engine.multiply(raised, a_scale * f)
     if bootstrap_key.factored:
-        # single CTS chain: slot k of y holds (c_br(k) + i*c_br(k)+sc)/(...)
-        yp = _apply_chain(engine, raised, bootstrap_key.cts_plan[:-1],
-                          "fcts", bootstrap_key, hi=hi)
-        last = bootstrap_key.cts_plan[-1]
+        plans = bootstrap_key.cts_plan
+        if hi:
+            # a_scale rides the FIRST group's diagonals and the group's
+            # exact-scale encode lifts Delta -> hi_scale: the dedicated
+            # pre-normalization multiply costs zero levels
+            yp = _apply_group(engine, raised, plans[0], "fcts0lift",
+                              bootstrap_key, scalar=a_scale * f, hi=True)
+            for i, plan in enumerate(plans[1:-1], 1):
+                yp = _apply_group(engine, yp, plan, f"fcts{i}",
+                                  bootstrap_key, hi=True)
+        else:
+            yp = _apply_chain(engine, raised, plans[:-1], "fcts",
+                              bootstrap_key)
+        last = plans[-1]
         y_a = _apply_group(engine, yp, last, f"fctsA{f:g}", bootstrap_key,
                            scalar=1.0 / f, hi=hi)
         # y_b = (-i*G) x = -i * (G x): one EXACT zeta4 scalar multiply
@@ -713,8 +716,18 @@ def bootstrap(engine, ct: Ciphertext, relin_key, conj_key,
         ct_b = engine.add(y_b, engine.conjugate(y_b, conj_key))
         m_a = _eval_mod(engine, ct_a, bootstrap_key, relin_key, q0, ct.scale)
         # fold the *i of the half-recombine into EvalMod's final constant
+        # (exact zeta4 multiply when hi: _eval_mod returned the raw sin)
         m_b = _eval_mod(engine, ct_b, bootstrap_key, relin_key, q0, ct.scale,
                         final_mult=1j)
+        if hi:
+            v = engine.add(m_a, engine.multiply_i(m_b))
+            fm = q0 / (2 * np.pi * ct.scale)
+            sp = bootstrap_key.stc_plan
+            # fm and the hi -> Delta paired drop fold into STC group 0
+            v = _apply_group(engine, v, sp[0], "fstc0drop", bootstrap_key,
+                             scalar=fm, hi=True,
+                             out_scale=engine.params.scale)
+            return _apply_chain(engine, v, sp[1:], "fstc1on", bootstrap_key)
         v = engine.add(m_a, m_b)
         return _apply_chain(engine, v, bootstrap_key.stc_plan, "fstc",
                             bootstrap_key)

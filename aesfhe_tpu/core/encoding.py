@@ -50,11 +50,33 @@ def coeffs_to_slots(coeffs: np.ndarray, params: CKKSParams, scale: float) -> np.
 
 
 def coeffs_to_rns(coeffs: np.ndarray, primes: tuple[int, ...]) -> np.ndarray:
-    """Signed integer coefficients (float64, exact) -> uint64 residues [L, N]."""
+    """Signed integer coefficients (float64 holding exact integer values)
+    -> uint64 residues [L, N].
+
+    Above 2^62 the int64 cast would overflow, so large coefficients split
+    exactly into hi*2^32 + lo (both f64-exact integers while |c| < 2^85)
+    and reduce per prime in uint64 -- needed by the high-precision
+    bootstrap's scale-lifting diagonal encodes (coefficients ~2^71 when a
+    CTS group lifts Delta -> hi_scale with a_scale folded in)."""
     c = np.asarray(coeffs, dtype=np.float64)
-    assert np.all(np.abs(c) < 2 ** 62), "coefficient overflow"
-    ci = c.astype(np.int64)
+    if np.all(np.abs(c) < 2 ** 62):
+        ci = c.astype(np.int64)
+        out = np.zeros((len(primes), c.shape[-1]), dtype=np.uint64)
+        for i, q in enumerate(primes):
+            out[i] = np.mod(ci, np.int64(q)).astype(np.uint64)
+        return out
+    assert np.all(np.abs(c) < 2 ** 85), "coefficient overflow"
+    neg = c < 0
+    a = np.abs(c)
+    hi = np.floor(a / 2 ** 32)            # exact: hi < 2^53
+    lo = a - hi * 2 ** 32                 # exact: lo < 2^32
+    hi_u = hi.astype(np.uint64)
+    lo_u = lo.astype(np.uint64)
     out = np.zeros((len(primes), c.shape[-1]), dtype=np.uint64)
     for i, q in enumerate(primes):
-        out[i] = np.mod(ci, np.int64(q)).astype(np.uint64)  # numpy mod >= 0
+        qq = np.uint64(q)
+        base = np.uint64((1 << 32) % q)
+        r = (hi_u % qq) * base % qq       # < 2^60, exact in uint64
+        r = (r + lo_u % qq) % qq
+        out[i] = np.where(neg, (qq - r) % qq, r)
     return out

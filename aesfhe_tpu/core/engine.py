@@ -87,21 +87,23 @@ def _encode_core(params, tabs, residues, level: int):
     return ops_impl.ntt_rows(xm, tr)
 
 
-@functools.partial(jax.jit, static_argnums=0)
-def _rotate_core(params, tabs, data, perm, key_b, key_a):
+@functools.partial(jax.jit, static_argnums=(0, 6))
+def _rotate_core(params, tabs, data, perm, key_b, key_a,
+                 key_cap: int | None = None):
     """Permute a degree-1 ct and key-switch its c1 back under s."""
     p0 = data[0][..., perm]
     p1 = data[1][..., perm]
-    b, a = ops_impl.keyswitch(params, tabs, p1, key_b, key_a)
+    b, a = ops_impl.keyswitch(params, tabs, p1, key_b, key_a, key_cap)
     level = data.shape[1] - 1
     tr = ops_impl._tabs_rows(tabs, ops_impl._rows(params, level, False))
     q = tr["q"].reshape((-1, 1))
     return jnp.stack([rns.add_mod(p0, b, q), a])
 
 
-@functools.partial(jax.jit, static_argnums=0)
-def _relin_core(params, tabs, data, key_b, key_a):
-    b, a = ops_impl.keyswitch(params, tabs, data[2], key_b, key_a)
+@functools.partial(jax.jit, static_argnums=(0, 5))
+def _relin_core(params, tabs, data, key_b, key_a,
+                key_cap: int | None = None):
+    b, a = ops_impl.keyswitch(params, tabs, data[2], key_b, key_a, key_cap)
     level = data.shape[1] - 1
     tr = ops_impl._tabs_rows(tabs, ops_impl._rows(params, level, False))
     q = tr["q"].reshape((-1, 1))
@@ -172,12 +174,14 @@ class Engine:
     # mesh) so the WHOLE engine API transparently distributes.
     def _relin_data(self, data, key: SwitchKey):
         """Relinearize degree-2 data [3, l+1, N] -> [2, l+1, N]."""
-        return _relin_core(self.params, self.tabs, data, key.b, key.a)
+        return _relin_core(self.params, self.tabs, data, key.b, key.a,
+                           getattr(key, "cap", None))
 
     def _galois_data(self, data, g: int, key: SwitchKey):
         """Apply automorphism g to degree-1 data and switch back under s."""
         perm = self._perm_dev(g)
-        return _rotate_core(self.params, self.tabs, data, perm, key.b, key.a)
+        return _rotate_core(self.params, self.tabs, data, perm, key.b, key.a,
+                            getattr(key, "cap", None))
 
     def _hoist_decompose(self, c1):
         """Shared key-switch digit decomposition of a c1 polynomial."""
@@ -187,7 +191,8 @@ class Engine:
         """One Galois application given the shared decomposition d_eval."""
         perm = self._perm_dev(g)
         return ops_impl.hoisted_rotate(self.params, self.tabs, data,
-                                       d_eval, perm, key.b, key.a)
+                                       d_eval, perm, key.b, key.a,
+                                       getattr(key, "cap", None))
 
     # ------------------------------------------------------------------
     @property
@@ -287,7 +292,7 @@ class Engine:
         # ~Delta^2 ~ 2^56) breaks both, so such ciphertexts fall through
         # to the exact host CRT path instead of decoding silently wrong.
         if device and ct.level >= 1 and \
-                ct.scale <= params.scale * (1.0 + 1e-9):
+                ct.scale <= params.scale * (1.0 + 1e-6):
             ri = np.asarray(dev_encoding._decode_slots_dev(
                 params, residues[:2], float(ct.scale)))
             return ri[0] + 1j * ri[1]

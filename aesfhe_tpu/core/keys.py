@@ -81,9 +81,16 @@ class PublicKey:
 
 @dataclass
 class SwitchKey:
-    """Key switching s' -> s: per digit group (b_j, a_j) over the full basis."""
-    b: Any               # [dnum, L_tot, N]
+    """Key switching s' -> s: per digit group (b_j, a_j) over the basis.
+
+    cap=None: rows cover the full basis [dnum, L_tot, N].  cap=l: rows
+    cover only q_0..q_l plus the specials ([dnum_l, l+1+K, N]) — a key
+    that can serve switches at levels <= l for ~(l+1+K)/L_tot of the HBM.
+    At prod_boot a full key is 231 MB; the bit-sliced round's rotations
+    never run above level ~19, so its direct keys fit in 95 MB each."""
+    b: Any               # [dnum(_cap), rows, N]
     a: Any
+    cap: int | None = None
 
 
 @dataclass
@@ -168,46 +175,61 @@ def gen_public_key(params: CKKSParams, tabs, sk: SecretKey) -> PublicKey:
 
 
 def gen_switch_key(params: CKKSParams, tabs, sk: SecretKey,
-                   s_prime_eval) -> SwitchKey:
+                   s_prime_eval, lvl_cap: int | None = None) -> SwitchKey:
     """ksk_j = (-a_j s + e_j + P * g_j * s', a_j) over QP.
 
     The per-group gadget P*g_j is, in RNS, simply (P mod q_i) on the group's
     own primes and 0 elsewhere (including the special primes) -- see
     SURVEY.md section 2.1 / the hybrid key-switch notes in ops_impl.keyswitch.
+
+    `lvl_cap` generates a level-capped key: rows q_0..q_cap + specials and
+    only the digit groups active at that level (see SwitchKey.cap).
     """
-    L_tot = params.L_tot
     n = params.n
-    rows = np.arange(L_tot, dtype=np.int32)
+    if lvl_cap is None:
+        rows = np.arange(params.L_tot, dtype=np.int32)
+        groups = params.groups
+    else:
+        rows = np.asarray(
+            list(range(lvl_cap + 1)) +
+            list(range(params.num_q, params.num_q + params.num_special)),
+            dtype=np.int32)
+        groups = [[i for i in grp if i <= lvl_cap] for grp in params.groups]
+        groups = [g for g in groups if g]
+    basis_primes = tuple(params.all_primes[r] for r in rows)
     tr = ops_impl._tabs_rows(tabs, rows)
     q = tr["q"].reshape((-1, 1))
     qinv = tr["qinv"].reshape((-1, 1))
+    rows_j = jnp.asarray(rows)
+    s_rows = sk.s_eval[rows_j]
+    sp_rows = s_prime_eval[rows_j] if lvl_cap is not None else s_prime_eval
     P = 1
     for p in params.special_primes:
         P *= p
     b_list, a_list = [], []
-    for grp in params.groups:
-        a_res = _sample_uniform_rns(params.all_primes, (n,))
-        e_res = _int_to_rns(_sample_gauss(n, params.error_std),
-                            params.all_primes)
+    for grp in groups:
+        a_res = _sample_uniform_rns(basis_primes, (n,))
+        e_res = _int_to_rns(_sample_gauss(n, params.error_std), basis_primes)
         a_eval = _to_eval(params, tabs, a_res, rows)
         e_eval = _to_eval(params, tabs, e_res, rows)
         b = rns.add_mod(
-            rns.neg_mod(rns.mont_mul(a_eval, sk.s_eval, q, qinv), q),
+            rns.neg_mod(rns.mont_mul(a_eval, s_rows, q, qinv), q),
             e_eval, q)
-        # + P*g_j*s' on the group's own prime rows
-        pg = np.zeros((L_tot, 1), dtype=np.uint32)
-        pg_sh = np.zeros((L_tot, 1), dtype=np.uint32)
+        # + P*g_j*s' on the group's own prime rows (q-row i sits at
+        # physical row i in both layouts since i <= lvl_cap)
+        pg = np.zeros((len(rows), 1), dtype=np.uint32)
+        pg_sh = np.zeros((len(rows), 1), dtype=np.uint32)
         for i in grp:
             qi = params.q_primes[i]
             w = P % qi
             pg[i, 0] = w
             pg_sh[i, 0] = rns.shoup_precompute(w, qi)
-        term = rns.shoup_mul(s_prime_eval, jnp.asarray(pg), jnp.asarray(pg_sh),
+        term = rns.shoup_mul(sp_rows, jnp.asarray(pg), jnp.asarray(pg_sh),
                              q)
         b = rns.add_mod(b, term, q)
         b_list.append(b)
         a_list.append(a_eval)
-    return SwitchKey(b=jnp.stack(b_list), a=jnp.stack(a_list))
+    return SwitchKey(b=jnp.stack(b_list), a=jnp.stack(a_list), cap=lvl_cap)
 
 
 def gen_relin_key(params: CKKSParams, tabs, sk: SecretKey) -> SwitchKey:
@@ -219,14 +241,15 @@ def gen_relin_key(params: CKKSParams, tabs, sk: SecretKey) -> SwitchKey:
 
 
 def gen_galois_key(params: CKKSParams, tabs, sk: SecretKey,
-                   galois_elt: int) -> SwitchKey:
+                   galois_elt: int, lvl_cap: int | None = None) -> SwitchKey:
     perm = jnp.asarray(params.galois_perm(galois_elt))
     s_g = sk.s_eval[..., perm]
-    return gen_switch_key(params, tabs, sk, s_g)
+    return gen_switch_key(params, tabs, sk, s_g, lvl_cap=lvl_cap)
 
 
 def gen_rotation_keys(params: CKKSParams, tabs, sk: SecretKey,
-                      steps: list[int] | None = None) -> GaloisKeySet:
+                      steps: list[int] | None = None,
+                      lvl_cap: int | None = None) -> GaloisKeySet:
     """Power-of-two ladder (both signs) for arbitrary-step rotation, plus any
     explicitly requested steps (create_fixed_rotation_key parity,
     /root/reference/engine_context.py:68-69)."""
@@ -246,5 +269,5 @@ def gen_rotation_keys(params: CKKSParams, tabs, sk: SecretKey,
     for s in sorted(wanted):
         g = params.rot_galois_elt(s)
         if g not in keys:
-            keys[g] = gen_galois_key(params, tabs, sk, g)
+            keys[g] = gen_galois_key(params, tabs, sk, g, lvl_cap=lvl_cap)
     return GaloisKeySet(keys=keys)

@@ -413,10 +413,23 @@ def ks_decompose(params: CKKSParams, tabs: DeviceTables, c_eval):
     return ntt_rows(dm, tr_b)
 
 
-@functools.partial(jax.jit, static_argnums=0)
+def _key_rows(params: CKKSParams, level: int, key_cap):
+    """Physical row indices of (q_0..q_level | specials) inside a switch
+    key stored with `key_cap` (None = full basis layout)."""
+    if key_cap is None:
+        return jnp.asarray(_rows(params, level, True))
+    assert level <= key_cap, (
+        f"switch key capped at level {key_cap} used at level {level}")
+    K = params.num_special
+    phys = np.concatenate([np.arange(level + 1),
+                           key_cap + 1 + np.arange(K)]).astype(np.int32)
+    return jnp.asarray(phys)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 5))
 @jax.named_scope("ckks.ks_inner_moddown")
 def ks_inner_and_moddown(params: CKKSParams, tabs: DeviceTables, d_eval,
-                         key_b, key_a):
+                         key_b, key_a, key_cap: int | None = None):
     """Inner product of extended digits with a switch key + P mod-down."""
     M = d_eval.shape[1]
     level = M - 1 - params.num_special
@@ -424,7 +437,7 @@ def ks_inner_and_moddown(params: CKKSParams, tabs: DeviceTables, d_eval,
     tr_b = _tabs_rows(tabs, rows_b)
     qb = tr_b["q"].reshape((-1, 1))
     qinv_b = tr_b["qinv"].reshape((-1, 1))
-    rows_key = jnp.asarray(rows_b)
+    rows_key = _key_rows(params, level, key_cap)
     acc_b = acc_a = None
     for j in range(d_eval.shape[0]):
         kb = key_b[j][rows_key]
@@ -437,10 +450,10 @@ def ks_inner_and_moddown(params: CKKSParams, tabs: DeviceTables, d_eval,
     return ba[0], ba[1]
 
 
-@functools.partial(jax.jit, static_argnums=0)
+@functools.partial(jax.jit, static_argnums=(0, 7))
 @jax.named_scope("ckks.hoisted_rotate")
 def hoisted_rotate(params: CKKSParams, tabs: DeviceTables, data, d_eval,
-                   perm, key_b, key_a):
+                   perm, key_b, key_a, key_cap: int | None = None):
     """Apply one Galois rotation given the SHARED decomposition d_eval of c1.
 
     sigma_g(c1) decomposes into sigma_g of each digit (the decomposition is
@@ -450,20 +463,22 @@ def hoisted_rotate(params: CKKSParams, tabs: DeviceTables, data, d_eval,
     """
     p0 = data[0][..., perm]
     d_perm = d_eval[..., perm]
-    b, a = ks_inner_and_moddown(params, tabs, d_perm, key_b, key_a)
+    b, a = ks_inner_and_moddown(params, tabs, d_perm, key_b, key_a, key_cap)
     level = data.shape[1] - 1
     tr = _tabs_rows(tabs, _rows(params, level, False))
     q = tr["q"].reshape((-1, 1))
     return jnp.stack([rns.add_mod(p0, b, q), a])
 
 
-@functools.partial(jax.jit, static_argnums=0)
+@functools.partial(jax.jit, static_argnums=(0, 5))
 @jax.named_scope("ckks.keyswitch")
-def keyswitch(params: CKKSParams, tabs: DeviceTables, c_eval, key_b, key_a):
+def keyswitch(params: CKKSParams, tabs: DeviceTables, c_eval, key_b, key_a,
+              key_cap: int | None = None):
     """Switch a single polynomial c (under s') to a pair under s.
 
     c_eval: [l+1, N] Montgomery eval (the s'-component, e.g. d2 or rotated c1)
-    key_b/key_a: [dnum, L_tot, N] Montgomery eval over the full basis.
+    key_b/key_a: [dnum, rows, N] Montgomery eval (full basis, or the
+    level-capped layout described by key_cap -- see keys.SwitchKey.cap).
     Returns (b, a): [l+1, N] each, Montgomery eval, scale unchanged.
     """
     lp1, n = c_eval.shape
@@ -511,7 +526,7 @@ def keyswitch(params: CKKSParams, tabs: DeviceTables, c_eval, key_b, key_a):
     d_eval = ntt_rows(dm, tr_b)                               # [d, M, N]
 
     # 4) inner product with the key (rows: active q + specials)
-    rows_key = jnp.asarray(rows_b)
+    rows_key = _key_rows(params, level, key_cap)
     acc_b = None
     acc_a = None
     qinv_b = tr_b["qinv"].reshape((1, -1, 1))

@@ -152,14 +152,23 @@ class BitSliceService:
     # so it cannot grow one dense [L, N] plaintext per (key, plane) forever
     _PT_CACHE_CAP = 256
 
-    def _cached_pt(self, key, vec: np.ndarray):
-        """Encode a dense weight vector ONCE (top level, scale Delta) and
-        reuse it at every level (multiply/combination slice pt.data rows).
-        Raw numpy weights would be host-FFT-encoded and re-uploaded on every
-        call -- the dominant cost of the round on a remote device."""
+    def _cached_pt(self, key, vec: np.ndarray, level: int | None = None):
+        """Encode a dense weight vector ONCE and reuse it wherever the
+        cached level suffices (multiply/combination slice pt.data rows).
+        Raw numpy weights would be host-FFT-encoded and re-uploaded on
+        every call -- the dominant cost of the round on a remote device.
+
+        `level` caps the encode height: a bootstrapped prod_boot round
+        never sees its weights above level ~19, and a top-level (55-row)
+        encode wastes ~3x the HBM per entry -- ~1.5 GB across a full key
+        schedule's sign planes and masks, on a device already holding
+        ~11 GB of keys.  A later call needing a higher level than cached
+        transparently re-encodes."""
+        need = self.eng.engine.params.top_level if level is None else level
         pt = self._pt_cache.pop(key, None)
-        if pt is None:
-            pt = self.eng.engine.encode(np.asarray(vec, dtype=np.float64))
+        if pt is None or pt.level < need:
+            pt = self.eng.engine.encode(np.asarray(vec, dtype=np.float64),
+                                        level=need)
         self._pt_cache[key] = pt            # (re)insert: LRU recency order
         while len(self._pt_cache) > self._PT_CACHE_CAP:
             self._pt_cache.pop(next(iter(self._pt_cache)))
@@ -203,7 +212,8 @@ class BitSliceService:
         out = []
         for k in range(8):
             ck = ("ark", bytes(np.asarray(key16, dtype=np.uint8)), k)
-            pt = self._cached_pt(ck, self._key_signs(key16, k))
+            pt = self._cached_pt(ck, self._key_signs(key16, k),
+                                 level=st.bits[k].level)
             out.append(eng.multiply_plain(st.bits[k], pt))
         return BitState(out)
 
@@ -330,7 +340,8 @@ class BitSliceService:
                 ck = (("srf", inverse, vi, fold_b, k) if fold_b is not None
                       else ("sr", inverse, vi))
                 weights.append(self._cached_pt(
-                    ck, mask.astype(np.float64) * sign))
+                    ck, mask.astype(np.float64) * sign,
+                    level=st.bits[k].level))
             out.append(eng.linear_combination(cts, weights))
         return BitState(out)
 
@@ -381,8 +392,10 @@ class BitSliceService:
             steps = sorted(steps)
             rots = eng.hoisted_rotations(st.bits[kp], rot_keys, steps)
             rotated[kp] = dict(zip(steps, rots))
+        lvl_mask = max(b.level for b in st.bits)
         row_masks = [self._cached_pt(("row", r),
-                                     (self._row == r).astype(np.float64))
+                                     (self._row == r).astype(np.float64),
+                                     level=lvl_mask)
                      for r in range(4)]
         out = []
         for k in range(8):

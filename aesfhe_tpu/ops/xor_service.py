@@ -147,7 +147,13 @@ class EngineWrapper:
         return self.engine.bootstrap(ct, self.relin_key, self.conj_key,
                                      self.boot_key)
 
-    def ensure_rotation_steps(self, steps):
+    # optional level cap for service-generated rotation keys: a flagship
+    # prod_boot round never rotates above level ~19, and a full-basis key
+    # is 231 MB vs 95 MB capped (keys.SwitchKey.cap); set by memory-tight
+    # drivers BEFORE constructing services
+    rot_lvl_cap: int | None = None
+
+    def ensure_rotation_steps(self, steps, lvl_cap: int | None = None):
         """Generate direct Galois keys for any `steps` missing from the
         rotation key set (hoisted_rotations needs direct keys; the default
         set is the power-of-two ladder).  Requires the secret key, i.e. the
@@ -161,9 +167,11 @@ class EngineWrapper:
                    if s % sc and
                    params.rot_galois_elt(s % sc) not in self.rot_key.keys]
         if missing:
+            cap = self.rot_lvl_cap if lvl_cap is None else lvl_cap
             fixed = keys_mod.gen_rotation_keys(params, self.engine.tabs,
                                                self.secret_key,
-                                               sorted(set(missing)))
+                                               sorted(set(missing)),
+                                               lvl_cap=cap)
             self.rot_key.keys.update(fixed.keys)
 
     # TPU-first fused reductions, exposed for the services

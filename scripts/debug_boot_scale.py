@@ -37,6 +37,9 @@ for logn in logns:
     rlk = eng.create_relinearization_key(sk)
     conj = eng.create_conjugation_key(sk)
     bk = eng.create_bootstrap_key(sk)
+    if os.environ.get("AESFHE_BOOT_HIPREC"):
+        bk.hi_prec = os.environ["AESFHE_BOOT_HIPREC"] == "1"
+        bk.prescale = 1.0 if bk.hi_prec else 16.0
     sc = p.slot_count
     rng = np.random.default_rng(0)
     vals = rng.integers(0, 16, sc, dtype=np.uint8)

@@ -44,6 +44,24 @@ def t(msg):
     print(f"[{time.time() - T0:8.1f}s] {msg}", flush=True)
 
 
+def _verify_bits(eng, sk, bits, want_bytes) -> int:
+    """On-device decrypt + sign-decode of the 8 bit planes, compared to the
+    expected byte vector; only ONE int32 crosses device-to-host.  After a
+    full flagship run the relay wedges on anything larger."""
+    import jax.numpy as jnp
+    from aesfhe_tpu.core import dev_encoding
+    from aesfhe_tpu.core.engine import _decrypt_core
+    params = eng.params
+    mismatch = jnp.zeros((), dtype=jnp.int32)
+    for k, b in enumerate(bits):
+        res = _decrypt_core(params, eng.tabs, b.data, sk.s_eval)
+        ri = dev_encoding._decode_slots_dev(params, res[:2], float(b.scale))
+        bit = (ri[0] < 0).astype(jnp.uint8)
+        want_bit = jnp.asarray((want_bytes >> k) & 1, dtype=jnp.uint8)
+        mismatch = mismatch + jnp.sum((bit != want_bit).astype(jnp.int32))
+    return int(np.asarray(mismatch))
+
+
 def main():
     profile = (sys.argv[1] if len(sys.argv) > 1 else
                os.environ.get("AESFHE_FLAGSHIP_PROFILE", "prod_boot"))
@@ -59,6 +77,13 @@ def main():
     cfg = XORConfig(profile=profile, use_bootstrap=True, rotation_steps=())
     wrap = EngineWrapper(cfg)
     eng = wrap.engine
+    # share the bootstrap Galois keys with the round's rotation set: 6 of
+    # the bit-sliced round's 12 steps coincide with bootstrap plan steps,
+    # and every shared key is ~231 MB of HBM at prod_boot
+    wrap.rot_key.keys.update(wrap.ctx.bootstrap_key.rot.keys)
+    # level-cap the remaining service-generated round keys (95 MB vs
+    # 231 MB each): the round never rotates above the refresh exit level
+    wrap.rot_lvl_cap = 20
     t(f"engine + keys ready (N=2^{eng.params.logn}, L={eng.params.max_level}, "
       f"dnum={eng.params.dnum})")
 
@@ -71,7 +96,25 @@ def main():
 
     aes = AESFHE128Bitsliced(wrap, key, refresh=wrap.bootstrap)
     st = aes.encrypt_state(state)
-    t(f"state encrypted ({blocks} AES blocks SIMD)")
+    # drop the fresh state to the post-refresh working level: rounds 1-3
+    # would otherwise run at unique level signatures (54/40/26), compiling
+    # a full set of one-off kernels each; at level 16 every round shares
+    # the refreshed-round shapes (the levels are free headroom anyway --
+    # the refresh schedule bootstraps before round 4 regardless)
+    from aesfhe_tpu.ops.bitplane import BitState
+    work_lvl = aes.ROUND_DEPTH + 2
+    st = BitState([eng._drop(b, work_lvl) for b in st.bits])
+    t(f"state encrypted ({blocks} AES blocks SIMD; dropped to L{work_lvl})")
+
+    # pre-compile + pre-run the on-device verification at the FINAL state
+    # level while HBM is still fresh: compiling it lazily at the end of the
+    # run hits the relay's end-of-run allocation wedge.  Doubles as a codec
+    # sanity check (fresh planes must decode to the input exactly).
+    final_lvl = 9 if rounds == 10 else max(1, work_lvl - 14 * 1)
+    warm = [eng._drop(b, final_lvl) for b in st.bits]
+    bad0 = _verify_bits(eng, wrap.secret_key, warm, state)
+    t(f"verification path warmed (input decode mismatches: {bad0})")
+    del warm
 
     # instrument: wrap refresh to count/time bootstraps
     boot_times = []
@@ -110,18 +153,39 @@ def main():
         st = aes.svc.xor_plain(st, aes.round_keys[rounds])
     wall = time.time() - t_all
 
-    got = aes.decrypt_state(st)
+    # Release the evaluation keys and bootstrap diagonal caches BEFORE the
+    # final state download: HBM sits within ~1 GB of capacity during the
+    # rounds (10.6 GB keys + ~3 GB cached diagonals), and with a full
+    # device even the D2H staging of the result planes wedges the relay.
+    from aesfhe_tpu import bootstrap as _bs
+    _bs._diag_cache.store.clear()
+    wrap.boot_key = None
+    wrap.ctx.bootstrap_key = None
+    wrap.ctx.small_bootstrap_key = None
+    wrap.rot_key.keys.clear()
+    wrap.relin_key = wrap.ctx.relinearization_key = None
+    aes.svc._pt_cache.clear()
+    import gc
+    gc.collect()
+    t("evaluation keys and caches released")
+
+    # Verify ON DEVICE, transferring only ONE scalar: after a full run the
+    # relay's device-to-host path wedges on array-sized transfers
+    # (RESOURCE_EXHAUSTED even with >2 GB of keys released), so decrypt
+    # each plane on-device (2-limb Garner sign decode), compare against
+    # the expected bit planes, and download a single mismatch counter.
     if rounds == 10:
         want = np.tile(np.frombuffer(want_ct, dtype=np.uint8), blocks)
-        exact = bool(np.array_equal(got, want))
-        t(f"FIPS-197 C.1 verification: {'EXACT MATCH' if exact else 'FAIL'}")
     else:
         from tests.aes_oracle import aes128_partial
         want = np.concatenate([aes128_partial(state[b:b + 16], key, rounds)
                                for b in range(0, sc, 16)])
-        exact = bool(np.array_equal(got, want))
-        t(f"{rounds}-round oracle verification: "
-          f"{'EXACT MATCH' if exact else 'FAIL'}")
+    bad = _verify_bits(eng, wrap.secret_key, st.bits, want)
+    exact = bad == 0
+    got = want if exact else None
+    label = ("FIPS-197 C.1" if rounds == 10 else f"{rounds}-round oracle")
+    t(f"{label} verification (on-device decode): "
+      f"{'EXACT MATCH' if exact else f'FAIL ({bad} mismatched bits)'}")
 
     c = eng.counters
     result = {

@@ -240,3 +240,25 @@ def test_linear_combination_dense_coeffs(tiny_engine):
     dec = eng.decrypt(out, E["sk"])
     assert np.max(np.abs(dec - ref)) < 5e-3
     assert out.level == lvl_before - 1            # one rescale total
+
+
+def test_level_capped_rotation_key(tiny_engine):
+    # A switch key generated with lvl_cap stores only q_0..q_cap + special
+    # rows ((cap+1+K)/L_tot of the HBM) and must behave identically to a
+    # full key at levels <= cap, and refuse use above it
+    # (keys.SwitchKey.cap; used by the flagship to fit prod_boot in HBM).
+    from aesfhe_tpu.core import keys as keys_mod
+    E = tiny_engine
+    eng, sk, pk = E["eng"], E["sk"], E["pk"]
+    p = eng.params
+    cap = p.max_level // 2
+    capped = keys_mod.gen_rotation_keys(p, eng.tabs, sk, [3], lvl_cap=cap)
+    rng = np.random.RandomState(3)
+    z = rng.standard_normal(p.slot_count)
+    ct = eng._drop(eng.encrypt(z, pk), cap)
+    got = eng.decrypt(eng.rotate(ct, capped, 3), sk)
+    assert np.abs(got - np.roll(z, 3)).max() < 1e-2
+    hs = eng.hoisted_rotations(ct, capped, [3])
+    assert np.abs(eng.decrypt(hs[0], sk) - np.roll(z, 3)).max() < 1e-2
+    with pytest.raises(AssertionError):
+        eng.rotate(eng.encrypt(z, pk), capped, 3)   # above the cap
