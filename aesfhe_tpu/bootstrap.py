@@ -37,6 +37,7 @@ from dataclasses import dataclass, field
 from typing import Any, Dict, List
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from .core.ciphertext import Ciphertext
@@ -78,10 +79,10 @@ class BootstrapKey:
     # factored-transform plans: list of per-group dicts (see _group_plan)
     stc_plan: list = field(default_factory=list)
     cts_plan: list = field(default_factory=list)
-
-    @property
-    def hi_scale(self) -> float:
-        return float(2 ** 54)
+    # nominal paired-prime scale tier for the hi_prec segment; derived by
+    # create_bootstrap_key from the params' top rescale-prime pair (exact
+    # scale tracking absorbs the difference from a power of two)
+    hi_scale: float = float(2 ** 54)
 
 
 def _bsgs_split(n_slots: int) -> tuple[int, int]:
@@ -235,7 +236,8 @@ def build_factored_plans(params, radix: int = 5):
 
 def create_bootstrap_key(engine, sk, small: bool = False,
                          factored: bool | None = None,
-                         rot: GaloisKeySet | None = None) -> BootstrapKey:
+                         rot: GaloisKeySet | None = None,
+                         hi_prec: bool | None = None) -> BootstrapKey:
     """`rot` injects an existing Galois key set instead of generating one:
     the rotation steps depend only on params (the factored plans), so the
     small and regular bootstrap keys can share one set -- at prod_boot each
@@ -259,10 +261,15 @@ def create_bootstrap_key(engine, sk, small: bool = False,
     da = 2 if small else 1
     theta_max = (2 * np.pi * K + np.pi / 2) / (2 ** da)
     deg = int(1.3 * theta_max) + 24
-    # hi_prec: big rings NEED the paired-prime noise floor (see the field
-    # docstring); tiny CI rings keep the cheaper single-prime path their
-    # 82-level profiles and cleanse ladders were tuned around
-    hi_prec = params.n >= 4096
+    # hi_prec default: big rings NEED the paired-prime noise floor (see the
+    # field docstring); tiny CI rings keep the cheaper single-prime path
+    # their 82-level profiles and cleanse ladders were tuned around.  The
+    # explicit parameter overrides the heuristic (ADVICE r3: testable on
+    # small rings, disableable on big ones).
+    if hi_prec is None:
+        hi_prec = params.n >= 4096
+    tl = params.top_level
+    hi_scale = float(params.q_primes[tl]) * float(params.q_primes[tl - 1])
     if factored:
         stc_plan, cts_plan = build_factored_plans(params)
         steps = set()
@@ -274,6 +281,7 @@ def create_bootstrap_key(engine, sk, small: bool = False,
             rot = gen_rotation_keys(params, engine.tabs, sk, sorted(steps))
         return BootstrapKey(small=small, rot=rot, K=K, cheb_deg=deg,
                             double_angles=da, factored=True, hi_prec=hi_prec,
+                            hi_scale=hi_scale,
                             prescale=1.0 if hi_prec else 16.0,
                             stc_plan=stc_plan, cts_plan=cts_plan)
     baby, giant = _bsgs_split(sc)
@@ -334,7 +342,10 @@ def _apply_linear_map(engine, ct: Ciphertext, diag_fn, tag: str,
                 # pre-rotate for the outer rotation: diag'_{g,b} = roll(diag, -gB)
                 pt = engine.encode(np.roll(diag, -g * B),
                                    level=babies[b].level)
-                _diag_cache.store[key] = pt
+                # tracer guard: a tracer cached under eval_shape/jit would
+                # leak out of the trace (see Engine._perm_dev)
+                if not isinstance(pt.data, jax.core.Tracer):
+                    _diag_cache.store[key] = pt
             term = engine.multiply_plain(babies[b], pt)
             acc = term if acc is None else engine.add(acc, term)
         if g:
@@ -391,7 +402,10 @@ def _apply_group(engine, ct: Ciphertext, plan: dict, tag: str,
             if pt is None:
                 pt = engine.encode(np.roll(ent["u"] * scalar, shift),
                                    level=b_ct.level, scale=enc_scale)
-                _diag_cache.store[key] = pt
+                # tracer guard: a tracer cached under eval_shape/jit would
+                # leak out of the trace (see Engine._perm_dev)
+                if not isinstance(pt.data, jax.core.Tracer):
+                    _diag_cache.store[key] = pt
             term = engine.multiply_plain(b_ct, pt)
             if hi:
                 term = engine._rescale(term)     # second prime of the pair

@@ -43,8 +43,15 @@ from .keys import (SecretKey, PublicKey, SwitchKey, GaloisKeySet,
 # cannot align (dense-plaintext adds, mixed combinations).  Truthful scale
 # tracking (_true_sigma) leaves residues up to 0.5/sigma ~ 2^-27 after an
 # adjust, which must pass the accept check without re-triggering work.
-_SCALE_TOL = 1e-7
-_SCALE_ACCEPT = 1e-7
+#
+# POLICY (documented per ADVICE r3): both thresholds are 1e-7, i.e. engine
+# adds deliberately TOLERATE up to 1e-7 relative scale mismatch as value
+# error instead of spending a level to align it.  Every circuit in this
+# package decodes quantities with margins >= 1e-2 (zeta phase bins, +-1
+# Walsh signs), so a 1e-7 value error is 5 orders below any decode
+# boundary, while a tighter trigger (1e-9) would re-align the ~2^-27
+# truthful-tracking residue after EVERY adjust -- an infinite regress that
+# burns one level per add.
 
 
 @functools.partial(jax.jit, static_argnums=0)
@@ -224,13 +231,17 @@ class Engine:
                                   steps: Sequence[int]) -> GaloisKeySet:
         return gen_rotation_keys(self.params, self.tabs, sk, list(steps))
 
-    def create_small_bootstrap_key(self, sk: SecretKey, rot=None):
+    def create_small_bootstrap_key(self, sk: SecretKey, rot=None,
+                                   hi_prec: bool | None = None):
         from .. import bootstrap as _bs
-        return _bs.create_bootstrap_key(self, sk, small=True, rot=rot)
+        return _bs.create_bootstrap_key(self, sk, small=True, rot=rot,
+                                        hi_prec=hi_prec)
 
-    def create_bootstrap_key(self, sk: SecretKey, rot=None):
+    def create_bootstrap_key(self, sk: SecretKey, rot=None,
+                             hi_prec: bool | None = None):
         from .. import bootstrap as _bs
-        return _bs.create_bootstrap_key(self, sk, small=False, rot=rot)
+        return _bs.create_bootstrap_key(self, sk, small=False, rot=rot,
+                                        hi_prec=hi_prec)
 
     # ----- encode / encrypt / decrypt ---------------------------------
     def encode(self, vec, level: int | None = None,

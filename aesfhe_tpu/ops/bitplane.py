@@ -38,6 +38,7 @@ from dataclasses import dataclass
 from typing import Dict, List, Optional, Sequence
 
 import numpy as np
+import jax
 
 from ..core.ciphertext import Ciphertext
 from .xor_service import EngineWrapper
@@ -169,9 +170,12 @@ class BitSliceService:
         if pt is None or pt.level < need:
             pt = self.eng.engine.encode(np.asarray(vec, dtype=np.float64),
                                         level=need)
-        self._pt_cache[key] = pt            # (re)insert: LRU recency order
-        while len(self._pt_cache) > self._PT_CACHE_CAP:
-            self._pt_cache.pop(next(iter(self._pt_cache)))
+        # tracer guard: under eval_shape/jit the encode returns a tracer
+        # whose escape would poison later jitted calls (see Engine._perm_dev)
+        if not isinstance(pt.data, jax.core.Tracer):
+            self._pt_cache[key] = pt        # (re)insert: LRU recency order
+            while len(self._pt_cache) > self._PT_CACHE_CAP:
+                self._pt_cache.pop(next(iter(self._pt_cache)))
         return pt
 
     # -- encode / decode ---------------------------------------------------

@@ -26,6 +26,7 @@ from pathlib import Path
 from typing import Any, Dict, Tuple
 
 import numpy as np
+import jax
 
 from ..context import EngineContext
 from ..core.engine import Engine
@@ -506,9 +507,15 @@ class XORService:
                     rows[i] = rows.get(i, 0) + w
             pts = [(i, eng.encode(w)) for i, w in sorted(rows.items())]
             cached = (pts, const if np.max(np.abs(const)) > 1e-12 else None)
-        self._ark_pt_cache[ck] = cached          # (re)insert: LRU recency
-        while len(self._ark_pt_cache) > self._ARK_CACHE_CAP:
-            self._ark_pt_cache.pop(next(iter(self._ark_pt_cache)))
+        # under an abstract trace (eval_shape/jit) encode returns tracers;
+        # caching one leaks it out of the trace and poisons every later
+        # jitted call (the round-3 MULTICHIP regression).  Same guard as
+        # Engine._perm_dev (core/engine.py).
+        if not any(isinstance(pt.data, jax.core.Tracer) for _, pt in
+                   cached[0]):
+            self._ark_pt_cache[ck] = cached      # (re)insert: LRU recency
+            while len(self._ark_pt_cache) > self._ARK_CACHE_CAP:
+                self._ark_pt_cache.pop(next(iter(self._ark_pt_cache)))
         pts, const = cached
         basis = self._build_power_basis(enc16)
         # ONE fused dense combination (single kernel, single rescale)

@@ -100,6 +100,14 @@ def cached_key_family(engine, cache_dir, rotation_steps=None) -> dict:
         try:
             k = load_keys(path)
             need = {"secret", "public", "relin", "conj"}
+            # 'rotation' may be absent only when the caller explicitly asked
+            # for a fixed (possibly empty) step set; a rotation_steps=None
+            # caller expects the power-of-two ladder, so a cache file missing
+            # it (partial/hand-pruned write) must regenerate instead of
+            # silently returning an empty GaloisKeySet that fails at rotate
+            # time (ADVICE r3)
+            if rotation_steps is None:
+                need = need | {"rotation"}
             if need <= set(k):
                 k.setdefault("rotation", GaloisKeySet(keys={}))
                 return k

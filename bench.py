@@ -5,10 +5,18 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 Headline: one FULL middle AES round on the bit-sliced Walsh pipeline
 (ops/bitplane.py) — SubBytes with the round key folded into the Walsh
-coefficients + ShiftRows + MixColumns + sign-cleanse — jitted as ONE XLA
-program over the whole SIMD batch (slot_count/16 AES blocks; 4096 at the
-default N=2^16, i.e. 2x the reference's "2K blocks per ciphertext" claim
-because bit-planes hold one byte per slot, /root/reference/README.md:29).
+coefficients + ShiftRows + MixColumns + sign-cleanse — over the whole SIMD
+batch.  Batch size: bit-planes hold one byte per slot, so slot_count/16 AES
+blocks = 2048 at the default N=2^16 (slot_count = N/2 = 32768), matching
+the reference's "2K blocks per ciphertext" (/root/reference/README.md:29).
+[Rounds 1-3 printed a "4096-block" unit label while computing blocks/s with
+2048 — the label was wrong, the VALUE was always per-2048-block batch.]
+
+Metric: blocks / MEDIAN iteration time.  Rationale: the median is robust to
+relay/dispatch outliers while still penalizing systematic slowness; t_min
+(the hardware-capability bound) and t_max are published alongside so the
+iteration spread is visible in every artifact (see PERF.md "iteration
+variance" forensics).
 
 vs_baseline: the reference publishes no numbers (BASELINE.md: README TOC
 stub only; its CPU AddRoundKey was measured-but-unrecorded, its 256x256 XOR
@@ -241,13 +249,14 @@ def main():
             except Exception:
                 cpu_bps = None
         vs = device_bps / cpu_bps if cpu_bps else 0.0
-    blocks = (1 << logn) // 32
+    blocks = (1 << logn) // 32           # slot_count/16, one byte per slot
     # the flagship fallback leg runs the bitplane setup (run_leg), so label
     # it as such; only an explicit MODE=zeta selects the zeta step metric
     unit = (f"AES blocks/s ({blocks}-block SIMD ARK+SubBytes step)"
             if MODE == "zeta" else
             "AES blocks/s (full bit-sliced round, "
-            f"{2 * blocks}-block SIMD batch)")
+            f"{blocks}-block SIMD batch, median of iters; "
+            "t_min/t_max published)")
     metric = ("aes_fhe_ark_subbytes_round_step_blocks_per_s"
               if MODE == "zeta" else "aes_fhe_full_round_blocks_per_s")
     print(json.dumps({

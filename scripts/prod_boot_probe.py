@@ -51,9 +51,16 @@ t(f"bootstrap #1 (incl compiles): err {err:.4f} level {out.level} ok {ok}", t0)
 t1 = time.time()
 out2 = eng.bootstrap(low, rlk, conj, bk)
 np.asarray(out2.data[0, 0, :1])
-t(f"bootstrap #2 (warm): {time.time()-t1:.1f}s", t0)
-# gate the verdict on the exact decode, not on reaching the end: the whole
-# point of the probe is full-ring bootstrap ACCURACY, not liveness
-print("PROBE OK" if ok else f"PROBE FAIL (err {err:.4f}, exact decode {ok})",
+warm_s = time.time() - t1
+d2 = eng.decrypt(out2, sk)
+err2 = np.max(np.abs(d2 - z))
+ok2 = np.array_equal(ZetaEncoder.from_zeta(d2, 16), vals)
+t(f"bootstrap #2 (warm): {warm_s:.1f}s err {err2:.4f} ok {ok2}", t0)
+# gate the verdict on the exact decode of BOTH runs (the warm path hits the
+# populated diagonal caches -- a warm-only regression must fail the probe),
+# not on reaching the end: the point is full-ring bootstrap ACCURACY
+ok = ok and ok2
+print("PROBE OK" if ok else
+      f"PROBE FAIL (err {err:.4f}/{err2:.4f}, exact decode {ok})",
       flush=True)
 sys.exit(0 if ok else 1)

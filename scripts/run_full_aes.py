@@ -182,7 +182,6 @@ def main():
                                for b in range(0, sc, 16)])
     bad = _verify_bits(eng, wrap.secret_key, st.bits, want)
     exact = bad == 0
-    got = want if exact else None
     label = ("FIPS-197 C.1" if rounds == 10 else f"{rounds}-round oracle")
     t(f"{label} verification (on-device decode): "
       f"{'EXACT MATCH' if exact else f'FAIL ({bad} mismatched bits)'}")
