@@ -52,6 +52,8 @@ from .keys import (SecretKey, PublicKey, SwitchKey, GaloisKeySet,
 # boundary, while a tighter trigger (1e-9) would re-align the ~2^-27
 # truthful-tracking residue after EVERY adjust -- an infinite regress that
 # burns one level per add.
+_SCALE_TOL = 1e-7
+_SCALE_ACCEPT = 1e-7
 
 
 @functools.partial(jax.jit, static_argnums=0)
