@@ -42,7 +42,7 @@ import jax.numpy as jnp
 
 from .core.ciphertext import Ciphertext
 from .core import rns, ops_impl
-from .core.keys import GaloisKeySet, gen_rotation_keys
+from .core.keys import GaloisKeySet, SwitchKey, gen_rotation_keys
 
 
 @dataclass
@@ -170,9 +170,31 @@ def _group_sizes(L: int, r: int = 5) -> list[int]:
     return [base + (1 if i < rem else 0) for i in range(m)]
 
 
+def _pow2_hops(gamma: int) -> list[int]:
+    """Signed power-of-two decomposition of a giant multiplier (shortest
+    greedy/NAF form): gamma = sum(hops), each hop +-2^k.
+
+    Every switch key costs ~231 MB of HBM at prod_boot; restricting giant
+    rotations to power-of-two multiples of the stride g*B eliminates the
+    gamma=+-3 keys entirely (4 full-height keys per prod_boot plan set) at
+    the price of ONE extra key-switch on the affected per-gamma inner sums."""
+    hops = []
+    g = gamma
+    while g:
+        p = 1 << (abs(g).bit_length() - 1)
+        if abs(g) - p > 2 * p - abs(g):
+            p <<= 1
+        p = p if g > 0 else -p
+        hops.append(p)
+        g -= p
+    return hops
+
+
 def _group_plan(mat: dict, sc: int) -> dict:
     """BSGS plan for one grouped diagonal matrix: all offsets are multiples
-    of a power-of-two granularity g; delta = g*(beta + B*gamma)."""
+    of a power-of-two granularity g; delta = g*(beta + B*gamma).  Giant
+    rotations are applied as power-of-two hop chains (see _pow2_hops), so
+    `giant_steps` only lists +-g*B*2^k steps."""
     offs = sorted(mat.keys())
     nz = [d for d in offs if d != 0]
     g = 0
@@ -199,7 +221,8 @@ def _group_plan(mat: dict, sc: int) -> dict:
             beta, gamma = beta_s, gamma_s
         entries.append(dict(delta=d, u=u, beta=int(beta), gamma=int(gamma)))
         baby_steps.add(-g * int(beta))
-        giant_steps.add(-g * B * int(gamma))
+        for h in _pow2_hops(int(gamma)):
+            giant_steps.add(-g * B * h)
     return dict(g=g, B=B, entries=entries,
                 baby_steps=sorted(baby_steps), giant_steps=sorted(giant_steps))
 
@@ -234,6 +257,62 @@ def build_factored_plans(params, radix: int = 5):
     return stc_plan, cts_plan
 
 
+def _flavor_config(params, small: bool):
+    """(K, double_angles, cheb_deg) for a bootstrap flavor.
+
+    Noise through the double-angle chain grows ~4^r, so keep r small and
+    pay with Chebyshev degree instead ("small" trades accuracy for cost).
+    Empirical scan (n=2^9, h=16): (scale 2^27, q0 2^30, da=1) -> err 0.012
+    vs 0.05+ for da=2 or scale 2^26."""
+    h = params.secret_hamming or params.n // 2
+    # |I| concentrates around sqrt(h)/2; 1.5*sqrt(h)+4 leaves ~5+ sigma
+    K = 1.5 * np.sqrt(h) + 4
+    da = 2 if small else 1
+    theta_max = (2 * np.pi * K + np.pi / 2) / (2 ** da)
+    deg = int(1.3 * theta_max) + 24
+    return K, da, deg
+
+
+def _probe_rotation_levels(engine, steps, stc_plan, cts_plan, hi_prec: bool,
+                           hi_scale: float,
+                           flavors) -> Dict[str, Dict[int, int]]:
+    """{phase: {rotation step -> max ciphertext level used}}, phase in
+    {"cts", "stc"}, measured by ABSTRACTLY tracing the real bootstrap
+    (jax.eval_shape: no FLOPs, no device memory) with full-shape dummy zero
+    keys.  Levels are static shape metadata under the trace, so the ledger
+    is exact for the traced configuration; `flavors` lists the `small`
+    values that will share the resulting key sets (both flavors when the
+    context shares one set, context.py)."""
+    params = engine.params
+    # one virtually-allocated zero array backs every dummy key (b and a):
+    # nothing is ever transferred or computed under eval_shape
+    zeros = np.zeros((params.dnum, params.L_tot, params.n), dtype=np.uint32)
+    dummy = SwitchKey(b=zeros, a=zeros, cap=None)
+    rot = GaloisKeySet(keys={params.rot_galois_elt(s): dummy for s in steps})
+    ledger: Dict[str, Dict[int, int]] = {"cts": {}, "stc": {}}
+    for small in flavors:
+        K, da, deg = _flavor_config(params, small)
+        bk = BootstrapKey(small=small, rot=rot, K=K,
+                          cheb_deg=deg, double_angles=da, factored=True,
+                          hi_prec=hi_prec, hi_scale=hi_scale,
+                          prescale=1.0 if hi_prec else 16.0,
+                          stc_plan=stc_plan, cts_plan=cts_plan)
+        bk._level_ledger = ledger
+
+        def run(data):
+            ct = Ciphertext(data, engine.params.scale)
+            return bootstrap(engine, ct, dummy, dummy, bk).data
+
+        jax.eval_shape(run, jax.ShapeDtypeStruct((2, 3, params.n),
+                                                 jnp.uint32))
+    return ledger
+
+
+def rotation_keys_mb(rot: GaloisKeySet) -> float:
+    """Actual HBM footprint of a Galois key set (caps included)."""
+    return sum(k.b.size + k.a.size for k in rot.keys.values()) * 4 / 2 ** 20
+
+
 def create_bootstrap_key(engine, sk, small: bool = False,
                          factored: bool | None = None,
                          rot: GaloisKeySet | None = None,
@@ -251,16 +330,7 @@ def create_bootstrap_key(engine, sk, small: bool = False,
     sc = params.slot_count
     if factored is None:
         factored = sc >= 8
-    h = params.secret_hamming or params.n // 2
-    # |I| concentrates around sqrt(h)/2; 1.5*sqrt(h)+4 leaves ~5+ sigma
-    K = 1.5 * np.sqrt(h) + 4
-    # Noise through the double-angle chain grows ~4^r, so keep r small and
-    # pay with Chebyshev degree instead ("small" trades accuracy for cost).
-    # Empirical scan (n=2^9, h=16): (scale 2^27, q0 2^30, da=1) -> err 0.012
-    # vs 0.05+ for da=2 or scale 2^26.
-    da = 2 if small else 1
-    theta_max = (2 * np.pi * K + np.pi / 2) / (2 ** da)
-    deg = int(1.3 * theta_max) + 24
+    K, da, deg = _flavor_config(params, small)
     # hi_prec default: big rings NEED the paired-prime noise floor (see the
     # field docstring); tiny CI rings keep the cheaper single-prime path
     # their 82-level profiles and cleanse ladders were tuned around.  The
@@ -278,10 +348,16 @@ def create_bootstrap_key(engine, sk, small: bool = False,
             steps |= {s % sc for s in plan["giant_steps"]}
         steps.discard(0)
         if rot is None:
+            # NB the step set is deliberately small: giant rotations are
+            # power-of-two hop chains (_pow2_hops), so no key is spent on
+            # composite multiples like gamma=+-3 -- at prod_boot that is 4
+            # fewer full-height keys (~0.9 GB of HBM) for one extra switch
+            # on each affected per-gamma sum.  CTS and STC share the same
+            # symmetric step set; the keys serve both phases.
             rot = gen_rotation_keys(params, engine.tabs, sk, sorted(steps))
-        return BootstrapKey(small=small, rot=rot, K=K, cheb_deg=deg,
-                            double_angles=da, factored=True, hi_prec=hi_prec,
-                            hi_scale=hi_scale,
+        return BootstrapKey(small=small, rot=rot, K=K,
+                            cheb_deg=deg, double_angles=da, factored=True,
+                            hi_prec=hi_prec, hi_scale=hi_scale,
                             prescale=1.0 if hi_prec else 16.0,
                             stc_plan=stc_plan, cts_plan=cts_plan)
     baby, giant = _bsgs_split(sc)
@@ -357,7 +433,8 @@ def _apply_linear_map(engine, ct: Ciphertext, diag_fn, tag: str,
 def _apply_group(engine, ct: Ciphertext, plan: dict, tag: str,
                  bk: BootstrapKey, scalar: complex = 1.0,
                  hi: bool = False,
-                 out_scale: float | None = None) -> Ciphertext:
+                 out_scale: float | None = None,
+                 rot: GaloisKeySet | None = None) -> Ciphertext:
     """Apply one grouped FFT-stage matrix (optionally scaled) with
     hoisted-BSGS.
 
@@ -372,7 +449,18 @@ def _apply_group(engine, ct: Ciphertext, plan: dict, tag: str,
     sc = params.slot_count
     g, B = plan["g"], plan["B"]
     baby_steps = plan["baby_steps"]
-    babies = engine.hoisted_rotations(ct, bk.rot, baby_steps)
+    rot = rot if rot is not None else bk.rot
+    led = getattr(bk, "_level_ledger", None)
+    if led is not None:
+        # key-level probe (see _probe_rotation_levels): babies switch at the
+        # group's entry level, giants 1-2 levels lower; record entry for
+        # both, keyed by phase (CTS and STC share steps but not heights)
+        phase = "stc" if tag.startswith("fstc") else "cts"
+        for s in list(plan["baby_steps"]) + list(plan["giant_steps"]):
+            s = s % sc
+            if s:
+                led[phase][s] = max(led[phase].get(s, -1), ct.level)
+    babies = engine.hoisted_rotations(ct, rot, baby_steps)
     baby_map = dict(zip(baby_steps, babies))
     by_gamma: Dict[int, list] = {}
     for ent in plan["entries"]:
@@ -410,16 +498,21 @@ def _apply_group(engine, ct: Ciphertext, plan: dict, tag: str,
             if hi:
                 term = engine._rescale(term)     # second prime of the pair
             acc = term if acc is None else engine.add(acc, term)
-        if shift % sc:
-            acc = engine.rotate(acc, bk.rot, (-shift) % sc)
+        # giant rotation as power-of-two hops: non-pow2 gammas have no
+        # direct key (see _pow2_hops -- each dropped key is ~231 MB of HBM
+        # at prod_boot); the hop chain costs one extra switch per composite
+        # gamma on the single accumulated sum
+        for h in _pow2_hops(gamma):
+            acc = engine.rotate(acc, rot, (-g * B * h) % sc)
         out = acc if out is None else engine.add(out, acc)
     return out
 
 
 def _apply_chain(engine, ct: Ciphertext, plans: list, tag: str,
-                 bk: BootstrapKey, hi: bool = False) -> Ciphertext:
+                 bk: BootstrapKey, hi: bool = False,
+                 rot: GaloisKeySet | None = None) -> Ciphertext:
     for i, plan in enumerate(plans):
-        ct = _apply_group(engine, ct, plan, f"{tag}{i}", bk, hi=hi)
+        ct = _apply_group(engine, ct, plan, f"{tag}{i}", bk, hi=hi, rot=rot)
     return ct
 
 

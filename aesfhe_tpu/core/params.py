@@ -306,7 +306,10 @@ _PROFILES = dict(
     prod_boot=dict(n=1 << 16, max_level=54, scale_bits=27,
                    num_special_primes=8, secret_hamming=192),
     # prod_hp: full-size high-precision ring; logQP = 1516 <= 1772,
-    # calibrated core-SVP estimate ~152 bits (SECURITY.md)
+    # calibrated core-SVP estimate ~152 bits (SECURITY.md).  NOT
+    # bootstrap-capable (q0 ~ 2^30 << Delta ~ 2^52 leaves EvalMod no sine
+    # headroom; bootstrap.create_bootstrap_key rejects paired-rescale
+    # chains): a depth-bounded profile for byte-domain deg-255 LUT work.
     prod_hp=dict(n=1 << 16, max_level=24, scale_bits=52,
                  num_special_primes=6),
 )

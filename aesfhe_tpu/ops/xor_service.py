@@ -164,11 +164,21 @@ class EngineWrapper:
         from ..core import keys as keys_mod
         params = self.engine.params
         sc = params.slot_count
+        cap = self.rot_lvl_cap if lvl_cap is None else lvl_cap
+
+        def _insufficient(g: int) -> bool:
+            k = self.rot_key.keys.get(g)
+            if k is None:
+                return True
+            # a shared key with a level cap BELOW this service's rotation
+            # ceiling (or with any cap when the ceiling is unbounded) would
+            # assert at switch time -- regenerate a tall-enough one
+            kcap = getattr(k, "cap", None)
+            return kcap is not None and (cap is None or kcap < cap)
+
         missing = [s % sc for s in steps
-                   if s % sc and
-                   params.rot_galois_elt(s % sc) not in self.rot_key.keys]
+                   if s % sc and _insufficient(params.rot_galois_elt(s % sc))]
         if missing:
-            cap = self.rot_lvl_cap if lvl_cap is None else lvl_cap
             fixed = keys_mod.gen_rotation_keys(params, self.engine.tabs,
                                                self.secret_key,
                                                sorted(set(missing)),

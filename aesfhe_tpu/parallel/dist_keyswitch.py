@@ -132,14 +132,16 @@ class DistKeySwitch:
         return kb, ka
 
     # -- per-level programs ---------------------------------------------------
-    def _build(self, level: int):
+    def _build(self, level: int, cap: int | None = None):
         params, tabs, mesh, axis = self.params, self.tabs, self.mesh, self.axis
         t = _padded_digit_tables(params, level, self.pad)
 
         rows_b = _rows(params, level, True)
         tr_b = _tabs_rows(tabs, rows_b)
         tr_q = _tabs_rows(tabs, _rows(params, level, False))
-        rows_key = jnp.asarray(rows_b)
+        # physical key rows for (q_0..q_level | specials): full-basis layout,
+        # or the level-capped layout of keys.SwitchKey.cap
+        rows_key = ops_impl._key_rows(params, level, cap)
         q_basis = jnp.asarray(t["basis"]).reshape(1, -1, 1)
         q_host = [int(q) for q in np.asarray(tr_b["q"])]
         # 2^16 Shoup pairs per basis prime, for the exact two-half psum fold
@@ -255,15 +257,17 @@ class DistKeySwitch:
         return dict(keyswitch=keyswitch, relin=relin, galois=galois,
                     decompose=decompose, hoisted_apply=hoisted_apply)
 
-    def _prog(self, level: int) -> dict:
-        if level not in self._fns:
-            self._fns[level] = self._build(level)
-        return self._fns[level]
+    def _prog(self, level: int, cap: int | None = None) -> dict:
+        k = (level, cap)
+        if k not in self._fns:
+            self._fns[k] = self._build(level, cap)
+        return self._fns[k]
 
     # -- public programs ------------------------------------------------------
     def keyswitch(self, c_eval, key):
         kb, ka = self.key_shards(key)
-        return self._run(self._prog(c_eval.shape[0] - 1)["keyswitch"],
+        return self._run(self._prog(c_eval.shape[0] - 1,
+                                    getattr(key, "cap", None))["keyswitch"],
                          c_eval, kb, ka)
 
     # backward-compat alias (round-1 API)
@@ -271,12 +275,14 @@ class DistKeySwitch:
 
     def relin(self, data, key):
         kb, ka = self.key_shards(key)
-        return self._run(self._prog(data.shape[1] - 1)["relin"],
+        return self._run(self._prog(data.shape[1] - 1,
+                                    getattr(key, "cap", None))["relin"],
                          data, kb, ka)
 
     def galois(self, data, perm, key):
         kb, ka = self.key_shards(key)
-        return self._run(self._prog(data.shape[1] - 1)["galois"],
+        return self._run(self._prog(data.shape[1] - 1,
+                                    getattr(key, "cap", None))["galois"],
                          data, perm, kb, ka)
 
     def decompose(self, c_eval):
@@ -286,5 +292,6 @@ class DistKeySwitch:
 
     def hoisted_apply(self, data, d_eval, perm, key):
         kb, ka = self.key_shards(key)
-        return self._run(self._prog(data.shape[1] - 1)["hoisted_apply"],
-                         data, d_eval, perm, kb, ka)
+        return self._run(self._prog(data.shape[1] - 1,
+                                    getattr(key, "cap", None))
+                         ["hoisted_apply"], data, d_eval, perm, kb, ka)

@@ -31,9 +31,9 @@ rlk = eng.create_relinearization_key(sk)
 conj = eng.create_conjugation_key(sk)
 t("base keys", t0)
 bk = eng.create_bootstrap_key(sk)
-nkeys = len(bk.rot.keys)
-key_mb = nkeys * 2 * p.dnum * p.L_tot * p.n * 4 / 2**20
-t(f"bootstrap keys: {nkeys} rotation keys (~{key_mb:.0f} MB) "
+from aesfhe_tpu.bootstrap import rotation_keys_mb
+t(f"bootstrap keys: {len(bk.rot.keys)} rotation keys "
+  f"({rotation_keys_mb(bk.rot):.0f} MB actual; pow2-hop giants) "
   f"deg={bk.cheb_deg} da={bk.double_angles} K={bk.K:.1f}", t0)
 
 sc = p.slot_count

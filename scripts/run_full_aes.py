@@ -44,6 +44,22 @@ def t(msg):
     print(f"[{time.time() - T0:8.1f}s] {msg}", flush=True)
 
 
+def hbm(tag: str):
+    """Per-phase HBM ledger: the next OOM should be a number in the log,
+    not a surprise (round-3 flagship died RESOURCE_EXHAUSTED with no memory
+    telemetry at all).  memory_stats may be unsupported through the relay;
+    degrade to silence rather than noise."""
+    try:
+        s = jax.devices()[0].memory_stats() or {}
+        used = s.get("bytes_in_use", 0) / 2 ** 30
+        peak = s.get("peak_bytes_in_use", 0) / 2 ** 30
+        lim = s.get("bytes_limit", 0) / 2 ** 30
+        t(f"HBM[{tag}]: {used:.2f} GiB in use (peak {peak:.2f}"
+          + (f" / limit {lim:.2f}" if lim else "") + ")")
+    except Exception:
+        pass
+
+
 def _verify_bits(eng, sk, bits, want_bytes) -> int:
     """On-device decrypt + sign-decode of the 8 bit planes, compared to the
     expected byte vector; only ONE int32 crosses device-to-host.  After a
@@ -77,15 +93,19 @@ def main():
     cfg = XORConfig(profile=profile, use_bootstrap=True, rotation_steps=())
     wrap = EngineWrapper(cfg)
     eng = wrap.engine
-    # share the bootstrap Galois keys with the round's rotation set: 6 of
-    # the bit-sliced round's 12 steps coincide with bootstrap plan steps,
-    # and every shared key is ~231 MB of HBM at prod_boot
-    wrap.rot_key.keys.update(wrap.ctx.bootstrap_key.rot.keys)
-    # level-cap the remaining service-generated round keys (95 MB vs
-    # 231 MB each): the round never rotates above the refresh exit level
+    # share the bootstrap Galois keys with the round's rotation set: several
+    # of the bit-sliced round's 12 steps coincide with bootstrap plan steps,
+    # and every shared full-height key is ~231 MB of HBM at prod_boot;
+    # remaining service-generated round keys are level-capped (95 MB each:
+    # the round never rotates above the refresh exit level)
     wrap.rot_lvl_cap = 20
+    bk = wrap.ctx.bootstrap_key
+    wrap.rot_key.keys.update(bk.rot.keys)
+    from aesfhe_tpu.bootstrap import rotation_keys_mb
     t(f"engine + keys ready (N=2^{eng.params.logn}, L={eng.params.max_level}, "
-      f"dnum={eng.params.dnum})")
+      f"dnum={eng.params.dnum}; {len(bk.rot.keys)} bootstrap Galois keys, "
+      f"{rotation_keys_mb(bk.rot):.0f} MB)")
+    hbm("keys")
 
     key = bytes.fromhex("000102030405060708090a0b0c0d0e0f")
     pt = bytes.fromhex("00112233445566778899aabbccddeeff")
@@ -115,6 +135,7 @@ def main():
     bad0 = _verify_bits(eng, wrap.secret_key, warm, state)
     t(f"verification path warmed (input decode mismatches: {bad0})")
     del warm
+    hbm("verify-warm")
 
     # instrument: wrap refresh to count/time bootstraps
     boot_times = []
@@ -149,6 +170,7 @@ def main():
         round_times.append(time.time() - tr)
         lvl = min(b.level for b in st.bits)
         t(f"round {r:2d}: {round_times[-1]:7.2f}s  (min level {lvl})")
+        hbm(f"round{r}")
     if rounds < 10:
         st = aes.svc.xor_plain(st, aes.round_keys[rounds])
     wall = time.time() - t_all

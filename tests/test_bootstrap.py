@@ -85,6 +85,39 @@ def test_bootstrap_pair_packed(boot):
     assert np.array_equal(np.real(d1) < 0, p1 < 0)
 
 
+def test_pow2_hops():
+    """Signed power-of-two giant decomposition: every gamma in a realistic
+    BSGS range resolves to a minimal hop chain that sums back exactly."""
+    from aesfhe_tpu.bootstrap import _pow2_hops
+    assert _pow2_hops(0) == []
+    for gamma in range(-16, 17):
+        hops = _pow2_hops(gamma)
+        assert sum(hops) == gamma
+        assert all(h and (abs(h) & (abs(h) - 1)) == 0 for h in hops)
+        # chain is short: composite gammas cost at most 2 extra hops here
+        assert len(hops) <= 3
+
+
+def test_giant_steps_are_pow2_multiples():
+    """Plan giant steps only ever reference +-g*B*2^k (composite gammas ride
+    hop chains instead of dedicated switch keys -- each dropped key is
+    ~231 MB of HBM at prod_boot)."""
+    from aesfhe_tpu import bootstrap as bs
+    p = CKKSParams(n=1 << 9, max_level=4, scale_bits=25, first_prime_bits=28,
+                   num_special_primes=3, secret_hamming=16)
+    sc = p.slot_count
+    stc_plan, cts_plan = bs.build_factored_plans(p)
+    for pl in stc_plan + cts_plan:
+        stride = pl["g"] * pl["B"]
+        for s in pl["giant_steps"]:
+            if s % sc == 0:
+                continue
+            m = s if abs(s) <= sc // 2 else s - sc * (1 if s > 0 else -1)
+            assert m % stride == 0
+            k = abs(m) // stride
+            assert k & (k - 1) == 0, f"giant step {s} is not pow2*stride"
+
+
 def test_factored_plans_match_dense():
     """Factored FFT-stage plans reproduce the dense decode/encode matrices
     exactly (host-side linear algebra; no FHE)."""
