@@ -148,28 +148,32 @@ class BitSliceService:
             [1, 2, 3, -1, -2, -3, 4, 8, 12, -4, -8, -12])
 
     # -- cached dense plaintexts --------------------------------------------
-    # key-dependent entries (ARK sign planes, fold masks) accumulate when a
-    # long-lived service evaluates many AES keys; bound the cache LRU-style
-    # so it cannot grow one dense [L, N] plaintext per (key, plane) forever
-    _PT_CACHE_CAP = 256
+    # The cache holds ONE round's working set (8 ARK sign planes + ~7
+    # ShiftRows mask variants + 4 row masks); entries are encoded ON DEVICE
+    # (core/dev_encoding c64 FFT -- ~ms, no host FFT, no dense upload), so
+    # eviction is cheap and the cache must NOT grow one dense [L, N]
+    # plaintext per (round key, plane): at prod_boot a full 10-round key
+    # schedule's cached planes cost ~350 MB of HBM next to ~12 GB of keys
+    # and diagonals, and that growth was the round-4 RESOURCE_EXHAUSTED.
+    _PT_CACHE_CAP = 24
 
     def _cached_pt(self, key, vec: np.ndarray, level: int | None = None):
-        """Encode a dense weight vector ONCE and reuse it wherever the
-        cached level suffices (multiply/combination slice pt.data rows).
-        Raw numpy weights would be host-FFT-encoded and re-uploaded on
-        every call -- the dominant cost of the round on a remote device.
+        """Device-encode a dense weight vector, LRU-cached for reuse within
+        a round (multiply/combination slice pt.data rows).
+
+        Precision: the c64 device embedding carries ~1e-6 relative error --
+        five orders below the +-1 Walsh sign margin and the 0/1 mask
+        contrast, and squashed by the per-round sign-cleanse.
 
         `level` caps the encode height: a bootstrapped prod_boot round
         never sees its weights above level ~19, and a top-level (55-row)
-        encode wastes ~3x the HBM per entry -- ~1.5 GB across a full key
-        schedule's sign planes and masks, on a device already holding
-        ~11 GB of keys.  A later call needing a higher level than cached
-        transparently re-encodes."""
+        encode wastes ~3x the HBM per entry.  A later call needing a higher
+        level than cached transparently re-encodes."""
         need = self.eng.engine.params.top_level if level is None else level
         pt = self._pt_cache.pop(key, None)
         if pt is None or pt.level < need:
             pt = self.eng.engine.encode(np.asarray(vec, dtype=np.float64),
-                                        level=need)
+                                        level=need, device=True)
         # tracer guard: under eval_shape/jit the encode returns a tracer
         # whose escape would poison later jitted calls (see Engine._perm_dev)
         if not isinstance(pt.data, jax.core.Tracer):

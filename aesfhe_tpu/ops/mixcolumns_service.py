@@ -181,20 +181,45 @@ class AESFHETransformer:
             vs.append(NibblePair(acc_h, acc_l))
         return vs
 
+    # one LUT stage: power basis (3) + bilinear sum (2); see
+    # pipeline.AESFHE128.SEG_STAGE_DEPTH for why there is no slack margin
+    SEG_STAGE_DEPTH = 5
+
     def merged_shift_mix_pairs(self, pair: NibblePair,
-                               inverse: bool = False) -> NibblePair:
+                               inverse: bool = False,
+                               refresh=None) -> NibblePair:
         """Nibble-pair state -> nibble-pair ShiftRows+MixColumns (or the
-        exact inverse: InvMixColumns then InvShiftRows)."""
+        exact inverse: InvMixColumns then InvShiftRows).
+
+        `refresh(pair, need) -> pair` enables SEGMENT-REFRESH scheduling:
+        the transform bootstraps between its LUT stages (GF multiples ->
+        masked-rotation sums -> two XOR-tree levels) so each <= 7-level
+        stage runs right after a refresh -- the only way the ~16-level
+        circuit fits a production bootstrap chain whose post-refresh budget
+        is ~19 levels (see DESIGN_NOTES "zeta-at-production depth wall").
+        Every intermediate is a root of unity per slot (the masks
+        partition), so each refresh's cleanse ladder applies."""
         xs = self.xor_svc
+        need = self.SEG_STAGE_DEPTH
+
+        def _r(p, depth=need):
+            return refresh(p, depth) if refresh is not None else p
+
+        pair = _r(pair)
         bases = (xs._build_power_basis(pair.hi),
                  xs._build_power_basis(pair.lo))
         matrix = INV_MIX if inverse else MIX
         needed = sorted(set(m for rw in matrix for m in rw))
         tms = {m: self._gf_mul_pair(pair, m, _bases=bases) for m in needed}
+        # mask+rotate costs 1 level, then an XOR stage: refresh the GF
+        # multiples that cannot afford both
+        tms = {m: _r(p, need + 1) for m, p in tms.items()}
         v = self._mix_terms(tms, matrix, inverse)
         # balanced XOR tree: ((V0^V1) ^ (V2^V3)) -- depth 2 instead of 3
+        v = [_r(p) for p in v]
         a = self._xor_pair(v[0], v[1])
         b = self._xor_pair(v[2], v[3])
+        a, b = _r(a), _r(b)
         return self._xor_pair(a, b)
 
     # ------------------------------------------------------------------

@@ -51,6 +51,17 @@ class AESFHE128:
         self.sr = shiftrows
         self.round_keys = expand_key_128(key)           # [11, 16]
         self.refresh = refresh
+        # post-refresh cleanse count: boot_tiny's measured ladder needs 4
+        # (error 0.034 entering at the m*e^2 convergence boundary); prod-
+        # shaped hi_prec chains refresh at ~1e-3 and need only 2 -- see
+        # DESIGN_NOTES "zeta-at-production depth wall"
+        self.post_boot_cleanses = self.POST_BOOT_CLEANSES
+        # segment-refresh scheduling: bootstrap INSIDE the round between
+        # LUT stages instead of once per round segment.  Required on
+        # production-shaped chains whose post-refresh budget (~19 levels at
+        # prod_boot) cannot hold a 14-23 level round segment; each LUT
+        # stage (<= 7 levels) then runs right after a refresh+cleanse.
+        self.segment_refresh = False
         self._sbox2d = (
             CoefficientCache(COEFF_DIR / "sbox_hi2d_coeffs.json"),
             CoefficientCache(COEFF_DIR / "sbox_lo2d_coeffs.json"))
@@ -117,7 +128,9 @@ class AESFHE128:
                           self.sr.shift_rows_simd(pair.lo, inverse=inverse))
 
     def shift_mix(self, pair: NibblePair, inverse: bool = False) -> NibblePair:
-        return self.tf.merged_shift_mix_pairs(pair, inverse=inverse)
+        hook = self._refresh if self.segment_refresh else None
+        return self.tf.merged_shift_mix_pairs(pair, inverse=inverse,
+                                              refresh=hook)
 
     # multiplicative-depth cost of each round op (rescale units), used to
     # refresh *before* an op would exhaust the chain -- the generalization of
@@ -142,16 +155,32 @@ class AESFHE128:
         if self.refresh is None:
             return pair
         r = self.eng.engine.params.rescale_primes
-        hi, lo = pair.hi, pair.lo
-        if hi.level < need * r + 2:
-            hi = self.refresh(hi)
-            for _ in range(self.POST_BOOT_CLEANSES):
-                hi = self.xor.cleanse(hi)
-        if lo.level < need * r + 2:
-            lo = self.refresh(lo)
-            for _ in range(self.POST_BOOT_CLEANSES):
-                lo = self.xor.cleanse(lo)
-        return NibblePair(hi, lo)
+
+        def one(ct):
+            if ct.level < need * r + 2:
+                ct = self.refresh(ct)
+                for _ in range(self.post_boot_cleanses):
+                    ct = self.xor.cleanse(ct)
+            elif self.segment_refresh and ct.level >= (need + 6) * r + 2:
+                # segment mode removed the in-round cleanses (they do not
+                # fit the post-refresh budget), so the top-of-chain
+                # TRANSIENT -- a fresh state descending 30+ levels before
+                # the first bootstrap fires -- must cleanse at each stage
+                # boundary while levels are plentiful, or the per-stage LUT
+                # gain (~30-100x) compounds the error past the zeta16
+                # decode margin before any refresh runs (measured:
+                # 2.6e-4 -> 0.1 across round 1, scripts/debug_zeta_seg.py)
+                ct = self.xor.cleanse(ct)
+            return ct
+
+        return NibblePair(one(pair.hi), one(pair.lo))
+
+    # per-stage depth need in segment-refresh mode: one 2D LUT stage is
+    # basis (3) + bilinear (2).  Kept at the exact stage cost (no margin):
+    # the post-refresh budget after two cleanses is ~8 levels, and a looser
+    # trigger (need+2 heuristic inside _refresh) would re-bootstrap after
+    # every single stage
+    SEG_STAGE_DEPTH = 5
 
     # ------------------------------------------------------------------
     def encrypt_rounds(self, pair: NibblePair, rounds: int = 10) -> NibblePair:
@@ -159,16 +188,22 @@ class AESFHE128:
         plain ShiftRows per FIPS-197); refresh (bootstrap) between rounds
         when configured.  rounds < 10 gives a partial evaluation for level-
         budget-constrained runs."""
+        seg = self.segment_refresh
         pair = self.add_round_key(pair, 0)
         for r in range(1, rounds + 1):
-            pair = self._refresh(pair, self.SUB_DEPTH)
-            pair = self.sub_bytes(pair)
+            pair = self._refresh(pair, self.SEG_STAGE_DEPTH if seg
+                                 else self.SUB_DEPTH)
+            # in segment mode the refresh's own cleanse ladder replaces the
+            # post-SubBytes cleanse (11 levels would not fit the budget)
+            pair = self.sub_bytes(pair, cleanse=not seg)
             if r == 10:
                 pair = self.shift_rows(pair)
             else:
-                pair = self._refresh(pair, self.MIX_DEPTH)
+                if not seg:
+                    pair = self._refresh(pair, self.MIX_DEPTH)
                 pair = self.shift_mix(pair)
-            pair = self._refresh(pair, self.ARK_DEPTH)
+            pair = self._refresh(pair, self.SEG_STAGE_DEPTH if seg
+                                 else self.ARK_DEPTH)
             pair = self.add_round_key(pair, r)
         return pair
 

@@ -96,9 +96,9 @@ def main():
     # share the bootstrap Galois keys with the round's rotation set: several
     # of the bit-sliced round's 12 steps coincide with bootstrap plan steps,
     # and every shared full-height key is ~231 MB of HBM at prod_boot;
-    # remaining service-generated round keys are level-capped (95 MB each:
-    # the round never rotates above the refresh exit level)
-    wrap.rot_lvl_cap = 20
+    # remaining service-generated round keys are level-capped (the round
+    # never rotates above the uniform work level below)
+    wrap.rot_lvl_cap = 17
     bk = wrap.ctx.bootstrap_key
     wrap.rot_key.keys.update(bk.rot.keys)
     from aesfhe_tpu.bootstrap import rotation_keys_mb
@@ -121,8 +121,14 @@ def main():
     # a full set of one-off kernels each; at level 16 every round shares
     # the refreshed-round shapes (the levels are free headroom anyway --
     # the refresh schedule bootstraps before round 4 regardless)
+    # UNIFORM work level: every refresh exits at 19 (probe), the unpack +
+    # cleanse land at 15, and one 14-level round ends at 1.  Pinning every
+    # round to the same entry level makes all 10 rounds share one set of
+    # XLA programs AND one set of cached dense plaintext heights -- per-
+    # round cache growth is what tipped the round-4 refresh into
+    # RESOURCE_EXHAUSTED after the key-memory fix.
     from aesfhe_tpu.ops.bitplane import BitState
-    work_lvl = aes.ROUND_DEPTH + 2
+    work_lvl = aes.ROUND_DEPTH + 1
     st = BitState([eng._drop(b, work_lvl) for b in st.bits])
     t(f"state encrypted ({blocks} AES blocks SIMD; dropped to L{work_lvl})")
 
@@ -157,6 +163,8 @@ def main():
         tr = time.time()
         # one round inline (encrypt_rounds would restart from round 1)
         st = aes._refresh(st, aes.ROUND_DEPTH)
+        if min(b.level for b in st.bits) > work_lvl:
+            st = BitState([eng._drop(b, work_lvl) for b in st.bits])
         st = aes.svc.xor_plain(st, aes.round_keys[r - 1])
         st = aes.svc.sub_bytes(st)
         if r == 10:

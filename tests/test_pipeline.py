@@ -95,3 +95,67 @@ def test_full_aes128_fips197(boot_cipher):
     got = aes.decrypt_state(out_pair)
     want = np.tile(np.frombuffer(want_ct, dtype=np.uint8), sc // 16)
     assert np.array_equal(got, want)
+
+
+@pytest.fixture(scope="module")
+def prod_shaped_cipher():
+    """Production-SHAPED zeta cipher: the exact prod_boot chain structure
+    (54 levels, scale 2^27, 8 specials, h=192, hi_prec paired-prime
+    bootstrap) on a small ring (n=2^10) -- the same depth/noise shape the
+    round-3 full-ring forensics used (PERF.md), NOT the boot_tiny toy
+    chain.  The post-refresh budget (~20 levels) cannot hold any 14-23
+    level round segment, so segment-refresh scheduling is required
+    (DESIGN_NOTES "zeta-at-production depth wall")."""
+    from aesfhe_tpu.core.params import CKKSParams
+    from aesfhe_tpu.core.engine import Engine
+    from aesfhe_tpu.core import keys as keys_mod
+    from aesfhe_tpu import bootstrap as bs
+
+    keys_mod.seed_keygen(0)
+    params = CKKSParams(n=1 << 10, max_level=54, scale_bits=27,
+                        num_special_primes=8, secret_hamming=192)
+    eng = Engine(params, use_bootstrap=True)
+    sk = eng.create_secret_key()
+
+    class _Shim:
+        engine = eng
+        secret_key = sk
+        public_key = eng.create_public_key(sk)
+        relinearization_key = eng.create_relinearization_key(sk)
+        conjugation_key = eng.create_conjugation_key(sk)
+        rotation_key = eng.create_rotation_key(sk)
+        # hi_prec forced: the n>=4096 heuristic would pick the single-prime
+        # path on this small ring, but the chain is prod-shaped (ADVICE r3:
+        # the override exists exactly for this)
+        bootstrap_key = bs.create_bootstrap_key(eng, sk, hi_prec=True)
+        small_bootstrap_key = None
+
+    wrap = EngineWrapper(ctx=_Shim())
+    xor_svc = XORService(wrap)
+    tf = AESFHETransformer(wrap, xor_svc)
+    sr = AESFHEShiftRows(wrap, xor_svc)
+    key = bytes.fromhex("000102030405060708090a0b0c0d0e0f")
+    aes = AESFHE128(wrap, xor_svc, tf, sr, key, refresh=wrap.bootstrap)
+    aes.segment_refresh = True
+    # prod-shaped hi_prec refreshes land at ~1e-3 error; two cleanses reach
+    # the 2-cleanse fixed point (DESIGN_NOTES) and the budget holds exactly
+    aes.post_boot_cleanses = 2
+    return aes, wrap
+
+
+@pytest.mark.big
+def test_zeta_three_rounds_prod_shaped(prod_shaped_cipher):
+    """VERDICT r3 #5: 3 zeta rounds on a prod-shaped chain (not boot_tiny),
+    exact vs the FIPS oracle, crossing ~70 segment refreshes."""
+    aes, wrap = prod_shaped_cipher
+    sc = wrap.engine.slot_count
+    rng = np.random.default_rng(11)
+    state = rng.integers(0, 256, sc, dtype=np.uint8)
+    pair = aes.encrypt_state(state)
+    out_pair = aes.encrypt_rounds(pair, rounds=3)
+    got = aes.decrypt_state(out_pair)
+    key = bytes.fromhex("000102030405060708090a0b0c0d0e0f")
+    want = np.concatenate([
+        aes128_partial(state[b:b + 16], key, rounds=3)
+        for b in range(0, sc, 16)])
+    assert np.array_equal(got, want)
