@@ -275,7 +275,7 @@ _PROFILES = dict(
     # AES round circuits in CI without bootstrap.  Delta = 2^28: the zeta
     # one-round circuit lands at level 1 with worst-case phase error ~0.04
     # of the decode margin (at 2^27 it was ~0.35 and single slots flipped;
-    # scripts/debug_round_noise.py measures this per stage)
+    # scripts/boot_forensics.py round_noise measures this per stage)
     deep=dict(n=1 << 12, max_level=48, scale_bits=28, num_special_primes=6),
     # hp: high-precision 2^52 scale (prime-pair rescale) for the byte-domain
     # degree-255 LUT services (GF/S-box/256x256-XOR)
@@ -288,7 +288,7 @@ _PROFILES = dict(
     # tests.  82 levels: the bootstrap chain consumes ~25, each zeta refresh
     # is followed by FOUR root-of-unity cleanses (28 levels; measured
     # convergence of the EvalMod residual: 0.034 -> 0.0085 -> 6e-4 -> 3e-6,
-    # scripts/debug_boot_q0.py -- the first cleanse sits at its m*e^2
+    # scripts/boot_forensics.py q0 -- the first cleanse sits at its m*e^2
     # convergence boundary, and the merged shift-mix's WORST-CASE LUT gain
     # is ~2e3, so the refreshed error must reach ~1e-5), and the deepest
     # round segment (merged shift-mix, 23 levels + headroom) must still

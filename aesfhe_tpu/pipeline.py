@@ -135,7 +135,7 @@ class AESFHE128:
     # multiplicative-depth cost of each round op (rescale units), used to
     # refresh *before* an op would exhaust the chain -- the generalization of
     # the reference's level<8 trigger (/root/reference/xor_service.py:274-277).
-    # Measured per stage on the deep profile (scripts/debug_round_noise.py):
+    # Measured per stage on the deep profile (scripts/boot_forensics.py round_noise):
     # ARK 48->43, SubBytes+cleanse 43->29, merged shift-mix 29->6
     SUB_DEPTH = 14
     MIX_DEPTH = 23
@@ -149,7 +149,7 @@ class AESFHE128:
         FOUR root-of-unity cleanses follow each real bootstrap: EvalMod
         leaves ~0.03 absolute on the zeta16 circle -- at the cleanse's
         m*e^2 convergence boundary, so the measured ladder is 0.034 ->
-        0.0085 -> 6e-4 -> 3e-6 (scripts/debug_boot_q0.py) -- and the merged
+        0.0085 -> 6e-4 -> 3e-6 (scripts/boot_forensics.py q0) -- and the merged
         shift-mix's WORST-CASE LUT gain is ~2e3 (typical ~250x), so the
         refreshed error must reach ~1e-5 before the next segment."""
         if self.refresh is None:
@@ -169,7 +169,7 @@ class AESFHE128:
                 # boundary while levels are plentiful, or the per-stage LUT
                 # gain (~30-100x) compounds the error past the zeta16
                 # decode margin before any refresh runs (measured:
-                # 2.6e-4 -> 0.1 across round 1, scripts/debug_zeta_seg.py)
+                # 2.6e-4 -> 0.1 across round 1, scripts/boot_forensics.py zeta_seg)
                 ct = self.xor.cleanse(ct)
             return ct
 
