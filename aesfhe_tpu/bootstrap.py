@@ -484,6 +484,18 @@ def _apply_group(engine, ct: Ciphertext, plan: dict, tag: str,
         acc = None
         for ent in ents:
             b_ct = baby_map[-g * ent["beta"]]
+            if not hi:
+                # non-hi diagonals are re-encoded ON DEVICE per application
+                # instead of cached: the c64 device embedding costs ~ms and
+                # carries ~1e-6 relative error -- far below the bootstrap's
+                # mod-down residual (~1e-2 at N=2^16) -- while caching them
+                # held ~550 MB of HBM across the STC groups at prod_boot,
+                # memory the 10-round flagship needs for its refreshes
+                pt = engine.encode(np.roll(ent["u"] * scalar, shift),
+                                   level=b_ct.level, device=True)
+                term = engine.multiply_plain(b_ct, pt)
+                acc = term if acc is None else engine.add(acc, term)
+                continue
             key = (id(params), tag, hi, ent["delta"], b_ct.level,
                    round(np.log2(b_ct.scale) * 1e6))
             pt = _diag_cache.store.get(key)

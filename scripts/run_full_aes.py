@@ -54,8 +54,19 @@ def hbm(tag: str):
         used = s.get("bytes_in_use", 0) / 2 ** 30
         peak = s.get("peak_bytes_in_use", 0) / 2 ** 30
         lim = s.get("bytes_limit", 0) / 2 ** 30
-        t(f"HBM[{tag}]: {used:.2f} GiB in use (peak {peak:.2f}"
-          + (f" / limit {lim:.2f}" if lim else "") + ")")
+        if used:
+            t(f"HBM[{tag}]: {used:.2f} GiB in use (peak {peak:.2f}"
+              + (f" / limit {lim:.2f}" if lim else "") + ")")
+    except Exception:
+        pass
+    try:
+        # the axon relay reports no memory_stats; client-tracked live
+        # arrays still expose OUR leaks (caches, stale refs) even though
+        # XLA-internal buffers stay invisible
+        la = jax.live_arrays()
+        tot = sum(int(np.prod(a.shape)) * a.dtype.itemsize for a in la)
+        t(f"HBM[{tag}]: {len(la)} live arrays, {tot / 2**30:.2f} GiB "
+          "client-tracked")
     except Exception:
         pass
 
@@ -149,6 +160,7 @@ def main():
 
     def timed_refresh(ct):
         tb = time.time()
+        hbm(f"pre-refresh{len(boot_times)}")
         out = raw_refresh(ct)
         jax.block_until_ready(out.data)
         boot_times.append(time.time() - tb)
