@@ -45,3 +45,37 @@ i_mxu = jax.jit(lambda x: mxu_ntt.ntt_inv_mxu(x, mx))
 goti = timeit("inv MXU 4-step", i_mxu, ref)
 print("inv bit-exact:", np.array_equal(np.asarray(refi), np.asarray(goti)))
 
+
+# -- differential timing: chain K transforms inside ONE jit so the ~25 ms
+# relay dispatch floor and D2H fetch cancel out ((t_K - t_1)/(K-1));
+# returns a tiny in-jit slice to keep transfer constant
+def diff_time(name, chain_fn, x, k1=1, k2=9, iters=6):
+    fa = jax.jit(lambda v: chain_fn(v, k1))
+    fb = jax.jit(lambda v: chain_fn(v, k2))
+    np.asarray(fa(x)); np.asarray(fb(x))          # compile + force fetch
+    ta = tb = 0.0
+    for _ in range(iters):
+        t0 = time.perf_counter(); np.asarray(fa(x)); ta += time.perf_counter() - t0
+        t0 = time.perf_counter(); np.asarray(fb(x)); tb += time.perf_counter() - t0
+    per = (tb - ta) / iters / (k2 - k1)
+    print(f"{name:28s} {per*1e3:8.3f} ms/op  ({per*1e6/L:7.2f} us/limb)  [differential]")
+    return per
+
+
+def chain_mxu_fwd(v, k):
+    for _ in range(k):
+        v = mxu_ntt.ntt_fwd_mxu(v, mx)
+        v = mxu_ntt.ntt_inv_mxu(v, mx)   # alternate so values stay bounded
+    return v[0, :8]
+
+
+def chain_unroll_fwd(v, k):
+    for _ in range(k):
+        v = ntt.ntt_fwd_unrolled(v, w, wsh, q)
+        v = ntt.ntt_inv_unrolled(v, wi, wish, q, ninv, ninvsh)
+    return v[0, :8]
+
+
+print("\n-- differential (fwd+inv pairs; divide by 2 for one transform) --")
+diff_time("MXU 4-step fwd+inv pair", chain_mxu_fwd, x)
+diff_time("unrolled XLA fwd+inv pair", chain_unroll_fwd, x)
