@@ -33,6 +33,8 @@ Linear transforms come in two flavors:
 """
 from __future__ import annotations
 
+import os
+import time
 from dataclasses import dataclass, field
 from typing import Any, Dict, List
 
@@ -481,7 +483,13 @@ def _apply_group(engine, ct: Ciphertext, plan: dict, tag: str,
     out = None
     for gamma, ents in sorted(by_gamma.items()):
         shift = g * B * gamma
-        acc = None
+        # gamma-group terms share (level, scale) by construction, so the
+        # whole group fuses into ONE multiply-accumulate kernel with the
+        # rescale(s) applied to the SUM: one rounding instead of len(ents),
+        # and len(ents)-1 fewer full-height rescale programs -- the warm
+        # prod_boot bootstrap spent ~half its wall in per-diagonal rescales
+        # before this (PERF.md round-4 warm breakdown)
+        pairs = []
         for ent in ents:
             b_ct = baby_map[-g * ent["beta"]]
             if not hi:
@@ -493,23 +501,19 @@ def _apply_group(engine, ct: Ciphertext, plan: dict, tag: str,
                 # memory the 10-round flagship needs for its refreshes
                 pt = engine.encode(np.roll(ent["u"] * scalar, shift),
                                    level=b_ct.level, device=True)
-                term = engine.multiply_plain(b_ct, pt)
-                acc = term if acc is None else engine.add(acc, term)
-                continue
-            key = (id(params), tag, hi, ent["delta"], b_ct.level,
-                   round(np.log2(b_ct.scale) * 1e6))
-            pt = _diag_cache.store.get(key)
-            if pt is None:
-                pt = engine.encode(np.roll(ent["u"] * scalar, shift),
-                                   level=b_ct.level, scale=enc_scale)
-                # tracer guard: a tracer cached under eval_shape/jit would
-                # leak out of the trace (see Engine._perm_dev)
-                if not isinstance(pt.data, jax.core.Tracer):
-                    _diag_cache.store[key] = pt
-            term = engine.multiply_plain(b_ct, pt)
-            if hi:
-                term = engine._rescale(term)     # second prime of the pair
-            acc = term if acc is None else engine.add(acc, term)
+            else:
+                key = (id(params), tag, hi, ent["delta"], b_ct.level,
+                       round(np.log2(b_ct.scale) * 1e6))
+                pt = _diag_cache.store.get(key)
+                if pt is None:
+                    pt = engine.encode(np.roll(ent["u"] * scalar, shift),
+                                       level=b_ct.level, scale=enc_scale)
+                    # tracer guard: a tracer cached under eval_shape/jit
+                    # would leak out of the trace (see Engine._perm_dev)
+                    if not isinstance(pt.data, jax.core.Tracer):
+                        _diag_cache.store[key] = pt
+            pairs.append((b_ct, pt))
+        acc = engine.fused_pt_sum(pairs, rescales=2 if hi else 1)
         # giant rotation as power-of-two hops: non-pow2 gammas have no
         # direct key (see _pow2_hops -- each dropped key is ~231 MB of HBM
         # at prod_boot); the hop chain costs one extra switch per composite
@@ -786,6 +790,44 @@ def _eval_mod(engine, u_raw: Ciphertext, bk: BootstrapKey, rlk,
 # Full bootstrap
 # ---------------------------------------------------------------------------
 
+class _PhaseTimer:
+    """Opt-in per-phase wall/op-count profile of one bootstrap() call
+    (AESFHE_BOOT_TIMES=1).  Each mark blocks on the phase's output, so it
+    perturbs the async dispatch pipeline -- profiling runs only; the
+    production path never syncs mid-bootstrap."""
+    enabled = False
+    records: list = []
+    _eng = None
+    _snap: dict = {}
+    _t0 = 0.0
+
+    @classmethod
+    def begin(cls, engine):
+        cls.enabled = bool(int(os.environ.get("AESFHE_BOOT_TIMES", "0")))
+        if not cls.enabled:
+            return
+        cls.records = []
+        cls._eng = engine
+        cls._snap = dict(engine.counters)
+        cls._t0 = time.perf_counter()
+
+    @classmethod
+    def mark(cls, name, out):
+        if not cls.enabled:
+            return
+        jax.block_until_ready(out.data if hasattr(out, "data") else out)
+        now = time.perf_counter()
+        cur = dict(cls._eng.counters)
+        delta = {k: cur[k] - cls._snap[k] for k in cur
+                 if cur[k] != cls._snap[k]}
+        cls.records.append((name, now - cls._t0, delta))
+        cls._snap, cls._t0 = cur, now
+
+    @classmethod
+    def report_str(cls) -> str:
+        return "  ".join(f"{n}:{dt:.2f}s" for n, dt, _ in cls.records)
+
+
 def bootstrap(engine, ct: Ciphertext, relin_key, conj_key,
               bootstrap_key: BootstrapKey) -> Ciphertext:
     if bootstrap_key is None or bootstrap_key.rot is None:
@@ -795,11 +837,13 @@ def bootstrap(engine, ct: Ciphertext, relin_key, conj_key,
             "(single-prime rescale, sparse secret)")
     params = engine.params
     engine._count("bootstrap")
+    _PhaseTimer.begin(engine)
     q0 = int(params.q_primes[0])
     sc = params.slot_count
     half = sc
 
     raised = _mod_raise(engine, ct)
+    _PhaseTimer.mark("mod_raise", raised)
     # pre-normalize so CoeffToSlot operates on O(1) values (see
     # eval_mod_scales); the factored path over-scales by `prescale` to keep
     # the rotation key-switch noise small relative to the signal, folding
@@ -817,15 +861,18 @@ def bootstrap(engine, ct: Ciphertext, relin_key, conj_key,
             # pre-normalization multiply costs zero levels
             yp = _apply_group(engine, raised, plans[0], "fcts0lift",
                               bootstrap_key, scalar=a_scale * f, hi=True)
+            _PhaseTimer.mark("cts0", yp)
             for i, plan in enumerate(plans[1:-1], 1):
                 yp = _apply_group(engine, yp, plan, f"fcts{i}",
                                   bootstrap_key, hi=True)
+                _PhaseTimer.mark(f"cts{i}", yp)
         else:
             yp = _apply_chain(engine, raised, plans[:-1], "fcts",
                               bootstrap_key)
         last = plans[-1]
         y_a = _apply_group(engine, yp, last, f"fctsA{f:g}", bootstrap_key,
                            scalar=1.0 / f, hi=hi)
+        _PhaseTimer.mark("ctsLast", y_a)
         # y_b = (-i*G) x = -i * (G x): one EXACT zeta4 scalar multiply
         # (multiply_i: no level, no noise) replaces a second full group
         # evaluation -- and its ~63 cached dense diagonal plaintexts, which
@@ -833,11 +880,14 @@ def bootstrap(engine, ct: Ciphertext, relin_key, conj_key,
         y_b = engine.negate(engine.multiply_i(y_a))
         ct_a = engine.add(y_a, engine.conjugate(y_a, conj_key))
         ct_b = engine.add(y_b, engine.conjugate(y_b, conj_key))
+        _PhaseTimer.mark("conj_split", ct_b)
         m_a = _eval_mod(engine, ct_a, bootstrap_key, relin_key, q0, ct.scale)
+        _PhaseTimer.mark("evalmod_a", m_a)
         # fold the *i of the half-recombine into EvalMod's final constant
         # (exact zeta4 multiply when hi: _eval_mod returned the raw sin)
         m_b = _eval_mod(engine, ct_b, bootstrap_key, relin_key, q0, ct.scale,
                         final_mult=1j)
+        _PhaseTimer.mark("evalmod_b", m_b)
         if hi:
             v = engine.add(m_a, engine.multiply_i(m_b))
             fm = q0 / (2 * np.pi * ct.scale)
@@ -846,7 +896,10 @@ def bootstrap(engine, ct: Ciphertext, relin_key, conj_key,
             v = _apply_group(engine, v, sp[0], "fstc0drop", bootstrap_key,
                              scalar=fm, hi=True,
                              out_scale=engine.params.scale)
-            return _apply_chain(engine, v, sp[1:], "fstc1on", bootstrap_key)
+            _PhaseTimer.mark("stc0", v)
+            out = _apply_chain(engine, v, sp[1:], "fstc1on", bootstrap_key)
+            _PhaseTimer.mark("stc_rest", out)
+            return out
         v = engine.add(m_a, m_b)
         return _apply_chain(engine, v, bootstrap_key.stc_plan, "fstc",
                             bootstrap_key)

@@ -866,6 +866,44 @@ class Engine:
             out = self._add_scalar(out, complex(constant), out.scale)
         return self._rescale(out)
 
+    def fused_pt_sum(self, pairs: Sequence[tuple],
+                     rescales: int = 1) -> Ciphertext:
+        """sum_k ct_k * pt_k with one fused kernel, rescaled AFTER the sum.
+
+        Sum-then-rescale does ONE rounding instead of K and runs K-1 fewer
+        full-height rescale programs per call -- the warm prod_boot
+        bootstrap spent ~half its wall clock in per-diagonal rescales
+        before the BSGS gamma-groups switched to this (see PERF.md round-4
+        warm-bootstrap breakdown).  `rescales=2` serves the paired-prime
+        hi-precision tier (bootstrap._apply_group hi=True).
+
+        All cts must share (level, scale) and all pts must share (level,
+        scale); the bootstrap's gamma-groups satisfy this by construction
+        (babies hoisted from one ciphertext, diagonals encoded at one
+        enc_scale)."""
+        cts = [p[0] for p in pairs]
+        pts = [p[1] for p in pairs]
+        lvl = min(ct.level for ct in cts)
+        lvl = min(lvl, min(pt.level for pt in pts))
+        self._check_levels(lvl)
+        base = cts[0].scale
+        ps = pts[0].scale
+        for ct in cts:
+            if abs(ct.scale - base) / base > _SCALE_ACCEPT:
+                raise ValueError("fused_pt_sum ct scales differ")
+        for pt in pts:
+            if abs(pt.scale - ps) / ps > _SCALE_ACCEPT:
+                raise ValueError("fused_pt_sum pt scales differ")
+        self._count("pt_mul", len(pairs))
+        stack = jnp.stack([ct.data[:, :lvl + 1] for ct in cts])
+        ptd = jnp.stack([pt.data[:lvl + 1] for pt in pts])
+        data = ops_impl.ct_linear_combo_dense(self.params, self.tabs,
+                                              stack, ptd)
+        out = Ciphertext(data, base * ps)
+        for _ in range(rescales):
+            out = self._rescale(out)
+        return out
+
     def inner_product(self, lhs: Sequence[Ciphertext],
                       rhs: Sequence[Ciphertext],
                       relin_key: SwitchKey) -> Ciphertext:

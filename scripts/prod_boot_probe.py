@@ -42,8 +42,11 @@ vals = rng.integers(0, 16, sc, dtype=np.uint8)
 z = ZetaEncoder.to_zeta(vals, 16)
 ct = eng.encrypt(z, pk)
 t("encrypted", t0)
+from aesfhe_tpu.bootstrap import _PhaseTimer
 low = eng._drop(ct, 0)
 out = eng.bootstrap(low, rlk, conj, bk)
+if _PhaseTimer.enabled:
+    t(f"phases #1: {_PhaseTimer.report_str()}", t0)
 d = eng.decrypt(out, sk)
 err = np.max(np.abs(d - z))
 ok = np.array_equal(ZetaEncoder.from_zeta(d, 16), vals)
@@ -52,6 +55,10 @@ t1 = time.time()
 out2 = eng.bootstrap(low, rlk, conj, bk)
 np.asarray(out2.data[0, 0, :1])
 warm_s = time.time() - t1
+if _PhaseTimer.enabled:
+    t(f"phases #2: {_PhaseTimer.report_str()}", t0)
+    for name, dt, ops in _PhaseTimer.records:
+        t(f"  {name:12s} {dt:6.2f}s  {ops}", t0)
 d2 = eng.decrypt(out2, sk)
 err2 = np.max(np.abs(d2 - z))
 ok2 = np.array_equal(ZetaEncoder.from_zeta(d2, 16), vals)

@@ -262,3 +262,50 @@ def test_level_capped_rotation_key(tiny_engine):
     assert np.abs(eng.decrypt(hs[0], sk) - np.roll(z, 3)).max() < 1e-2
     with pytest.raises(AssertionError):
         eng.rotate(eng.encrypt(z, pk), capped, 3)   # above the cap
+
+
+def test_fused_pt_sum_matches_per_term(tiny_engine):
+    # sum-then-rescale (Engine.fused_pt_sum, the bootstrap gamma-group
+    # kernel) must agree with the per-term multiply_plain+rescale+add chain
+    # and exit at the same (level, scale)
+    E = tiny_engine
+    eng = E["eng"]
+    sc = eng.slot_count
+    rng = np.random.RandomState(7)
+    xs = [rng.rand(sc) + 1j * rng.rand(sc) for _ in range(3)]
+    ws = [np.exp(2j * np.pi * rng.rand(sc)) for _ in range(3)]
+    cts = [eng.encrypt(x, E["pk"]) for x in xs]
+    pts = [eng.encode(w, level=cts[0].level) for w in ws]
+    fused = eng.fused_pt_sum(list(zip(cts, pts)), rescales=1)
+    ref_ct = None
+    for ct, pt in zip(cts, pts):
+        term = eng.multiply_plain(ct, pt)
+        ref_ct = term if ref_ct is None else eng.add(ref_ct, term)
+    want = sum(w * x for w, x in zip(ws, xs))
+    dec = eng.decrypt(fused, E["sk"])
+    assert np.max(np.abs(dec - want)) < 5e-3
+    assert fused.level == ref_ct.level
+    assert abs(fused.scale - ref_ct.scale) / ref_ct.scale < 1e-9
+    assert np.max(np.abs(dec - eng.decrypt(ref_ct, E["sk"]))) < 5e-3
+
+
+def test_fused_pt_sum_double_rescale(tiny_engine):
+    # rescales=2 (the hi-precision paired-prime tier) drops two levels and
+    # divides the scale by both primes
+    E = tiny_engine
+    eng = E["eng"]
+    sc = eng.slot_count
+    rng = np.random.RandomState(8)
+    x = rng.rand(sc)
+    ct = eng.encrypt(x, E["pk"])
+    lvl = ct.level
+    p = eng.params
+    # encode at a scale chosen so two rescales land back on Delta
+    enc_scale = (p.scale * float(p.q_primes[lvl]) *
+                 float(p.q_primes[lvl - 1]) / ct.scale)
+    pt = eng.encode(np.full(sc, 0.5), level=lvl, scale=enc_scale)
+    out = eng.fused_pt_sum([(ct, pt)], rescales=2)
+    assert out.level == lvl - 2
+    assert abs(out.scale - p.scale) / p.scale < 1e-6
+    dec = eng.decrypt(out, E["sk"])
+    assert np.max(np.abs(dec - 0.5 * x)) < 5e-3
