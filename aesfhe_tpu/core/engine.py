@@ -803,26 +803,15 @@ class Engine:
         coeffs = [p[1] for p in pairs]
         lvl = min(ct.level for ct in cts)
         aligned = [self._drop(ct, lvl) for ct in cts]
-        # all inputs must share one scale for a meaningful sum; adjust any
-        # stragglers (rare -- power bases built by make_power_basis share
-        # scale at equal level)
+        # inputs at drifted scales (hi-precision power/Chebyshev bases)
+        # unify FOR FREE: each coefficient is encoded at its own scale
+        # t_i = target * base / s_i so every term lands on base * target.
+        # The per-term rounding error (<= 0.5/t_i absolute in slot units,
+        # t_i ~ target) is the same class as a standard encode; the old
+        # _adjust_scale pass paid a scalar multiply + rescale + ONE LEVEL
+        # per straggler for the same alignment (~120 extra rescale kernels
+        # per warm prod_boot bootstrap inside EvalMod's PS recursion).
         base_scale = max(ct.scale for ct in aligned)
-        fixed = []
-        redo = False
-        for ct in aligned:
-            if abs(ct.scale - base_scale) / base_scale > _SCALE_TOL:
-                redo = True
-                break
-        if redo:
-            align_to = min(ct.scale for ct in aligned)
-            tmp = []
-            for ct in aligned:
-                if abs(ct.scale - align_to) / align_to > _SCALE_TOL:
-                    ct = self._adjust_scale(ct, align_to)
-                tmp.append(ct)
-            lvl = min(ct.level for ct in tmp)
-            aligned = [self._drop(ct, lvl) for ct in tmp]
-            base_scale = align_to
         self._check_levels(lvl)
         if target_scale is not None:
             qd = 1.0
@@ -839,8 +828,9 @@ class Engine:
             datas.append(d)
         stack = jnp.stack(datas)                       # [K, deg+1, l+1, N]
         consts = jnp.stack([
-            self._scalar_mul_consts(complex(c), target, lvl, mont=False)
-            for c in coeffs])                          # [K, l+1, 4]
+            self._scalar_mul_consts(complex(c), target * base_scale / ct.scale,
+                                    lvl, mont=False)
+            for ct, c in zip(aligned, coeffs)])        # [K, l+1, 4]
         data = ops_impl.ct_linear_combo(self.params, self.tabs, stack, consts)
         out = Ciphertext(data, base_scale * target)
         if constant != 0:

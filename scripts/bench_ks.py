@@ -35,13 +35,17 @@ def measure(name, mk, k1=1, k2=4, iters=4):
         t0 = time.perf_counter(); np.asarray(fb(*args)); tb += time.perf_counter()-t0
     print(f"{name:30s} {(tb-ta)/iters/(k2-k1)*1e3:8.2f} ms/op")
 
+# the tiny return must keep EVERY output alive: discarding the `a` half or
+# slicing one limb lets XLA dead-code-eliminate that share of the kernel
+# (the a-side inner products + mod-down, or L-1 of the rescale limbs),
+# silently under-measuring
 def mk_ks(k):
     def f(c, tabs, kb, ka):
         x = c
         for _ in range(k):
             b, a = ops_impl.keyswitch(p, tabs, x, kb, ka)
-            x = b
-        return x[0, :8]
+            x = jnp.bitwise_xor(b, a)    # keep both outputs alive
+        return x[:, :8].sum(axis=0)
     return f
 
 
@@ -51,7 +55,7 @@ def mk_rescale2(k):
         acc = jnp.zeros((8,), jnp.uint32)
         for i in range(k):
             y = ops_impl.ct_rescale(p, tabs, x + jnp.uint32(i))
-            acc = acc + y[0, 0, :8]
+            acc = acc + y[:, :, :8].sum(axis=(0, 1))
         return acc
     return f
 

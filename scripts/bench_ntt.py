@@ -62,18 +62,21 @@ def diff_time(name, chain_fn, x, k1=1, k2=9, iters=6):
     return per
 
 
+# the tiny return slice must depend on EVERY limb: a plain v[0, :8] lets
+# XLA dead-code-eliminate the other L-1 limbs entirely (limbs are
+# independent), silently measuring 1/L of the work
 def chain_mxu_fwd(v, k):
     for _ in range(k):
         v = mxu_ntt.ntt_fwd_mxu(v, mx)
         v = mxu_ntt.ntt_inv_mxu(v, mx)   # alternate so values stay bounded
-    return v[0, :8]
+    return v[:, :8].sum(axis=0)
 
 
 def chain_unroll_fwd(v, k):
     for _ in range(k):
         v = ntt.ntt_fwd_unrolled(v, w, wsh, q)
         v = ntt.ntt_inv_unrolled(v, wi, wish, q, ninv, ninvsh)
-    return v[0, :8]
+    return v[:, :8].sum(axis=0)
 
 
 print("\n-- differential (fwd+inv pairs; divide by 2 for one transform) --")
