@@ -53,8 +53,10 @@ ok = np.array_equal(ZetaEncoder.from_zeta(d, 16), vals)
 t(f"bootstrap #1 (incl compiles): err {err:.4f} level {out.level} ok {ok}", t0)
 t1 = time.time()
 out2 = eng.bootstrap(low, rlk, conj, bk)
+t_mid = time.time()
 np.asarray(out2.data[0, 0, :1])
 warm_s = time.time() - t1
+t(f"bootstrap #2 call {t_mid-t1:.1f}s + result fetch {time.time()-t_mid:.1f}s", t0)
 if _PhaseTimer.enabled:
     t(f"phases #2: {_PhaseTimer.report_str()}", t0)
     for name, dt, ops in _PhaseTimer.records:
