@@ -186,6 +186,9 @@ class Engine:
         # host->device upload each through a remote-device relay.
         self._perm_cache: dict[int, jnp.ndarray] = {}
         self._trivial_cache: dict = {}
+        # per-(value, scale, level, mont) scalar-constant tables: tiny
+        # arrays, rebuilt thousands of times per round otherwise
+        self._consts_cache: dict = {}
 
     def _perm_dev(self, g: int) -> jnp.ndarray:
         p = self._perm_cache.get(g)
@@ -378,7 +381,15 @@ class Engine:
 
         Shoup form (mont=False): [l+1, 4] (re_w, re_sh, imz_w, imz_sh)
         Montgomery form (mont=True): [l+1, 2] (re_m, imz_m)   (for add)
-        """
+
+        Cached per (value, scale, level, mont): circuits re-encode the same
+        handful of constants (+-1/16 Walsh weights, 0.5 unpack factors,
+        cleanse coefficients) every round, and the Python per-limb table
+        loop below is pure host time on the round's critical path."""
+        ck = (complex(value), float(scale), level, mont)
+        hit = self._consts_cache.get(ck)
+        if hit is not None:
+            return hit
         params = self.params
         re_i = int(round(value.real * scale))
         im_i = int(round(value.imag * scale))
@@ -396,7 +407,12 @@ class Engine:
                 out[i, 1] = rns.shoup_precompute(re_q, q)
                 out[i, 2] = imz_q
                 out[i, 3] = rns.shoup_precompute(imz_q, q)
-        return jnp.asarray(out)
+        dev = jnp.asarray(out)
+        if not isinstance(dev, jax.core.Tracer):   # see Engine._perm_dev
+            self._consts_cache[ck] = dev
+            while len(self._consts_cache) > 4096:
+                self._consts_cache.pop(next(iter(self._consts_cache)))
+        return dev
 
     def _adjust_scale(self, ct: Ciphertext, target_scale: float) -> Ciphertext:
         """Multiply by 1.0 encoded at sigma so that after rescale the scale
