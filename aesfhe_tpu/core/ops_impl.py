@@ -275,6 +275,53 @@ def ct_tensor_sum(params: CKKSParams, tabs: DeviceTables, a_stack, b_stack):
 
 
 @functools.partial(jax.jit, static_argnums=0)
+@jax.named_scope("ckks.walsh_subbytes")
+def walsh_sub_bytes_core(params: CKKSParams, tabs: DeviceTables,
+                         a_stack, b_stack, consts):
+    """All 8 Walsh-LUT output planes from two character bases, one program.
+
+    a_stack/b_stack: [U=16, 2, l+1, N] Montgomery eval (the subset-product
+    character bases, shared (level, scale)); consts: [8, U, V, l+1, 2]
+    (w, w_shoup) pairs of the REAL Walsh weights encoded at the combo
+    target scale.  Returns [8, 3, l+1, N] degree-2 PRE-relin sums
+    out[k] = sum_u a[u] * (sum_v consts[k,u,v] * b[v]); the caller
+    relinearizes and double-rescales each plane.
+
+    Replaces 8 x 16 separate stack+linear_combination dispatches plus 8
+    tensor-sum stacks: the b-stack is read once per fused tile instead of
+    re-concatenated per call, cutting the round's HBM traffic ~10x
+    (measured in the flagship round wall, PERF.md round-4).
+    """
+    level = a_stack.shape[2] - 1
+    tr = _tabs_rows(tabs, _rows(params, level, False))
+    q1 = tr["q"].reshape((1, 1, 1, -1, 1))        # [.., l+1, N] broadcast
+    # stage 1: rhs[k, u] = sum_v consts[k, u, v] * b[v]   [8, U, 2, l+1, N]
+    rhs = None
+    for v in range(b_stack.shape[0]):
+        w = consts[:, :, v, None, :, 0:1]         # [8, U, 1, l+1, 1]
+        wsh = consts[:, :, v, None, :, 1:2]
+        term = rns.shoup_mul(b_stack[v][None, None], w, wsh, q1)
+        rhs = term if rhs is None else rns.add_mod(rhs, term, q1)
+    # stage 2: degree-2 tensor-sum over u against a_stack
+    q2 = tr["q"].reshape((1, -1, 1))
+    qinv2 = tr["qinv"].reshape((1, -1, 1))
+    d0 = d1 = d2 = None                           # [8, l+1, N] each
+    for u in range(a_stack.shape[0]):
+        a0 = a_stack[u, 0][None]                  # [1, l+1, N]
+        a1 = a_stack[u, 1][None]
+        r0 = rhs[:, u, 0]                         # [8, l+1, N]
+        r1 = rhs[:, u, 1]
+        t0 = rns.mont_mul(a0, r0, q2, qinv2)
+        t1 = rns.add_mod(rns.mont_mul(a0, r1, q2, qinv2),
+                         rns.mont_mul(a1, r0, q2, qinv2), q2)
+        t2 = rns.mont_mul(a1, r1, q2, qinv2)
+        d0 = t0 if d0 is None else rns.add_mod(d0, t0, q2)
+        d1 = t1 if d1 is None else rns.add_mod(d1, t1, q2)
+        d2 = t2 if d2 is None else rns.add_mod(d2, t2, q2)
+    return jnp.stack([d0, d1, d2], axis=1)        # [8, 3, l+1, N]
+
+
+@functools.partial(jax.jit, static_argnums=0)
 @jax.named_scope("ckks.automorphism")
 def ct_automorphism(params: CKKSParams, tabs: DeviceTables, a, perm):
     """Apply Galois automorphism as an eval-domain gather; perm int32 [N]."""

@@ -39,6 +39,7 @@ from typing import Dict, List, Optional, Sequence
 
 import numpy as np
 import jax
+import jax.numpy as jnp
 
 from ..core.ciphertext import Ciphertext
 from .xor_service import EngineWrapper
@@ -142,6 +143,7 @@ class BitSliceService:
         self._W = {False: walsh_tables(AES_SBOX),
                    True: walsh_tables(AES_INV_SBOX)}
         self._pt_cache: Dict = {}
+        self._walsh_const_cache: Dict = {}
         # direct Galois keys for the hoisted rotation batches: ShiftRows
         # uses +-4r, MixColumns' intra-column row rotations use +-1..3
         eng_wrap.ensure_rotation_steps(
@@ -286,21 +288,65 @@ class BitSliceService:
         if round_key is not None:
             rk = np.tile(np.asarray(round_key, dtype=np.uint8), self.sc // 16)
             key_lo, key_hi = (rk & 0x0F), (rk >> 4)
-        outs = []
         blist = [one] + [B[v] for v in range(1, 16)]
+        if round_key is None:
+            # all 8 planes through ONE fused kernel (see
+            # ops_impl.walsh_sub_bytes_core); per-plane relin + the same
+            # paired rescale the two-stage path paid (one at the combo, one
+            # after the product) -- exit (level, scale) identical
+            from ..core import ops_impl
+            params = eng.params
+            target = params.scale
+            a_stack = jnp.stack([ct.data[:, :lvl + 1] for ct in lhs])
+            b_stack = jnp.stack([ct.data[:, :lvl + 1] for ct in blist])
+            consts = self._walsh_consts(inverse, lvl, target)
+            raw = ops_impl.walsh_sub_bytes_core(params, eng.tabs,
+                                                a_stack, b_stack, consts)
+            eng._count("pt_mul", 128)
+            eng._count("ct_mul", 128)
+            outs = []
+            for k in range(8):
+                ct = Ciphertext(raw[k], s2 * s2 * target)
+                eng._count("keyswitch")
+                ct = Ciphertext(eng._relin_data(ct.data, rlk), ct.scale)
+                outs.append(eng._rescale(eng._rescale(ct)))
+            return BitState(outs)
+        outs = []
         for k in range(8):
             rhs = []
             for u in range(16):
                 coeffs = [W[k][(v << 4) | u] for v in range(16)]
-                if round_key is None:
-                    rhs.append(eng.linear_combination(blist, coeffs))
-                else:
-                    su = chi_signs(u, key_lo)
-                    dense = [coeffs[v] * su * chi_signs(v, key_hi)
-                             for v in range(16)]
-                    rhs.append(eng.linear_combination(blist, dense))
+                su = chi_signs(u, key_lo)
+                dense = [coeffs[v] * su * chi_signs(v, key_hi)
+                         for v in range(16)]
+                rhs.append(eng.linear_combination(blist, dense))
             outs.append(eng.inner_product(lhs, rhs, rlk))
         return BitState(outs)
+
+    def _walsh_consts(self, inverse: bool, level: int, target: float):
+        """[8, 16, 16, level+1, 2] (w, w_shoup) device table of the REAL
+        Walsh weights W[k][(v<<4)|u] encoded at `target`; cached per
+        (table, level) -- the weights and the work level repeat every
+        round.  Built fully vectorized in numpy (the per-value Python
+        encode loop would cost ~2048 calls per SubBytes)."""
+        ck = (inverse, level, round(target))
+        hit = self._walsh_const_cache.get(ck)
+        if hit is not None:
+            return hit
+        W = self._W[inverse]                       # [8, 256]
+        params = self.eng.engine.params
+        C = W[:, (np.arange(16)[None, :] << 4) | np.arange(16)[:, None]]
+        # C[k, u, v] = W[k][(v<<4)|u]
+        re_i = np.round(C * target).astype(np.int64)      # [8, 16, 16]
+        qs = np.asarray(params.active_primes(level), dtype=np.int64)
+        re_q = np.mod(re_i[..., None], qs[None, None, None, :])
+        re_sh = ((re_q.astype(np.uint64) << np.uint64(32)) //
+                 qs.astype(np.uint64)[None, None, None, :])
+        consts = jnp.asarray(np.stack([re_q, re_sh], axis=-1)
+                             .astype(np.uint32))
+        if not isinstance(consts, jax.core.Tracer):
+            self._walsh_const_cache[ck] = consts
+        return consts
 
     # -- ShiftRows ------------------------------------------------------------
     def _sr_variants(self, inverse: bool):
