@@ -154,6 +154,31 @@ def main():
     del warm
     hbm("verify-warm")
 
+    # warm the ROUND program set on a throwaway state so the timed rounds
+    # measure steady-state throughput, not XLA compiles: all 10 rounds
+    # share one program set by the uniform-level design, so ONE warmup
+    # round (including a real 4-bootstrap refresh) covers them.  Round 1
+    # otherwise carried 300-800 s of one-off compiles inside the metric;
+    # keygen-style setup cost, reported separately as warmup_s.  The
+    # persistent compile cache makes the warmup itself ~30 s on reruns.
+    warmup_s = 0.0
+    if os.environ.get("AESFHE_FLAGSHIP_WARMUP", "1") != "0":
+        tw = time.time()
+        wst = aes._refresh(st, aes.ROUND_DEPTH)
+        if min(b.level for b in wst.bits) > work_lvl:
+            wst = BitState([eng._drop(b, work_lvl) for b in wst.bits])
+        wst = aes.svc.xor_plain(wst, aes.round_keys[0])
+        wst = aes.svc.sub_bytes(wst)
+        wst = aes.svc.shift_rows(wst)
+        wst = aes.svc.mix_columns(wst)
+        wst = aes.svc.cleanse(wst)
+        for b in wst.bits:
+            jax.block_until_ready(b.data)
+        del wst
+        warmup_s = time.time() - tw
+        t(f"round programs warmed ({warmup_s:.1f}s incl. one refresh)")
+        hbm("round-warm")
+
     # instrument: wrap refresh to count/time bootstraps
     boot_times = []
     raw_refresh = aes.refresh
@@ -235,6 +260,7 @@ def main():
         "device": jax.devices()[0].device_kind,
         "blocks": blocks,
         "wall_s": round(wall, 2),
+        "warmup_s": round(warmup_s, 2),
         "blocks_per_s_10round": round(blocks / wall, 2),
         "ms_per_round_mean": round(1000 * wall / rounds, 1),
         "round_times_s": [round(x, 2) for x in round_times],
