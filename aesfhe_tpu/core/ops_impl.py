@@ -294,23 +294,26 @@ def walsh_sub_bytes_core(params: CKKSParams, tabs: DeviceTables,
     """
     level = a_stack.shape[2] - 1
     tr = _tabs_rows(tabs, _rows(params, level, False))
-    q1 = tr["q"].reshape((1, 1, 1, -1, 1))        # [.., l+1, N] broadcast
-    # stage 1: rhs[k, u] = sum_v consts[k, u, v] * b[v]   [8, U, 2, l+1, N]
-    rhs = None
-    for v in range(b_stack.shape[0]):
-        w = consts[:, :, v, None, :, 0:1]         # [8, U, 1, l+1, 1]
-        wsh = consts[:, :, v, None, :, 1:2]
-        term = rns.shoup_mul(b_stack[v][None, None], w, wsh, q1)
-        rhs = term if rhs is None else rns.add_mod(rhs, term, q1)
-    # stage 2: degree-2 tensor-sum over u against a_stack
+    q1 = tr["q"].reshape((1, 1, -1, 1))           # [.., l+1, N] broadcast
     q2 = tr["q"].reshape((1, -1, 1))
     qinv2 = tr["qinv"].reshape((1, -1, 1))
+    # per-u interleave: rhs_u = sum_v consts[:,u,v] * b[v] is consumed by
+    # the tensor accumulation in the SAME iteration, so peak liveness is
+    # one [8, 2, l+1, N] slice (~0.4 GB at prod_boot work levels) instead
+    # of the full [8, U, 2, l+1, N] stage-1 tensor (~3.5 GB -- which OOMed
+    # a 16 GB chip next to 11.5 GB of keys)
     d0 = d1 = d2 = None                           # [8, l+1, N] each
     for u in range(a_stack.shape[0]):
+        rhs_u = None                              # [8, 2, l+1, N]
+        for v in range(b_stack.shape[0]):
+            w = consts[:, u, v, None, :, 0:1]     # [8, 1, l+1, 1]
+            wsh = consts[:, u, v, None, :, 1:2]
+            term = rns.shoup_mul(b_stack[v][None], w, wsh, q1)
+            rhs_u = term if rhs_u is None else rns.add_mod(rhs_u, term, q1)
         a0 = a_stack[u, 0][None]                  # [1, l+1, N]
         a1 = a_stack[u, 1][None]
-        r0 = rhs[:, u, 0]                         # [8, l+1, N]
-        r1 = rhs[:, u, 1]
+        r0 = rhs_u[:, 0]                          # [8, l+1, N]
+        r1 = rhs_u[:, 1]
         t0 = rns.mont_mul(a0, r0, q2, qinv2)
         t1 = rns.add_mod(rns.mont_mul(a0, r1, q2, qinv2),
                          rns.mont_mul(a1, r0, q2, qinv2), q2)
