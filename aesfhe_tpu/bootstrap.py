@@ -502,16 +502,22 @@ def _apply_group(engine, ct: Ciphertext, plan: dict, tag: str,
                 pt = engine.encode(np.roll(ent["u"] * scalar, shift),
                                    level=b_ct.level, device=True)
             else:
+                # hi diagonals are cached as HOST digit payloads (~1.3 MB
+                # each) and re-materialized on device per use: keeping the
+                # ~180 encoded [rows, N] plaintexts resident cost ~2.9 GB
+                # of HBM, which the flagship needs as headroom (the chip
+                # also carries 7.5 GB of keys).  The re-materialization is
+                # one [5, N] upload + a trivial CRT+NTT program per entry.
+                # Payloads are plain numpy, so this cache is trace-safe by
+                # construction (no tracer can be stored).
                 key = (id(params), tag, hi, ent["delta"], b_ct.level,
                        round(np.log2(b_ct.scale) * 1e6))
-                pt = _diag_cache.store.get(key)
-                if pt is None:
-                    pt = engine.encode(np.roll(ent["u"] * scalar, shift),
-                                       level=b_ct.level, scale=enc_scale)
-                    # tracer guard: a tracer cached under eval_shape/jit
-                    # would leak out of the trace (see Engine._perm_dev)
-                    if not isinstance(pt.data, jax.core.Tracer):
-                        _diag_cache.store[key] = pt
+                hit = _diag_cache.store.get(key)
+                if hit is None:
+                    hit = engine.encode_payload(
+                        np.roll(ent["u"] * scalar, shift), enc_scale)
+                    _diag_cache.store[key] = hit
+                pt = engine.payload_to_plaintext(hit, b_ct.level, enc_scale)
             pairs.append((b_ct, pt))
         acc = engine.fused_pt_sum(pairs, rescales=2 if hi else 1)
         # giant rotation as power-of-two hops: non-pow2 gammas have no

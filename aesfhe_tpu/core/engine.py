@@ -288,13 +288,29 @@ class Engine:
             data = dev_encoding.encode_eval_dev(self.params, self.tabs,
                                                 vec, level, scale)
             return Plaintext(data=data, scale=scale)
-        coeffs = encoding.slots_to_coeffs(np.asarray(vec), self.params, scale)
-        # exact host f64 embedding, but the per-prime CRT completes on
-        # device from a base-2^22 digit split (see _digits_encode_core):
-        # bit-identical to encoding.coeffs_to_rns, ~15x less host time and
-        # a [5, N] upload instead of [level+1, N]
+        data = _digits_encode_core(self.params, self.tabs,
+                                   jnp.asarray(self.encode_payload(vec,
+                                                                   scale)),
+                                   level)
+        return Plaintext(data=data, scale=scale)
+
+    def encode_payload(self, vec, scale: float) -> np.ndarray:
+        """Host half of the exact encode: embedding FFT + base-2^22 digit
+        split -> [5, N] uint32 (4 digit rows + sign row).  ~1.3 MB and
+        ~18 ms at N=2^16 vs a [level+1, N] residue array -- small enough to
+        CACHE host-side and re-materialize on device per use
+        (payload_to_plaintext), which is how the bootstrap keeps its ~180
+        hi-precision diagonals out of HBM."""
+        coeffs = encoding.slots_to_coeffs(np.asarray(vec), self.params,
+                                          scale)
         digits, neg = encoding.coeffs_to_digits(coeffs)
-        payload = np.concatenate([digits, neg[None].astype(np.uint32)])
+        return np.concatenate([digits, neg[None].astype(np.uint32)])
+
+    def payload_to_plaintext(self, payload: np.ndarray, level: int,
+                             scale: float) -> Plaintext:
+        """Device half: per-prime CRT from the digit payload + Montgomery +
+        NTT (one jitted program; bit-identical to the all-host
+        encoding.coeffs_to_rns path -- see _digits_encode_core)."""
         data = _digits_encode_core(self.params, self.tabs,
                                    jnp.asarray(payload), level)
         return Plaintext(data=data, scale=scale)

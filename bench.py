@@ -217,6 +217,10 @@ def main():
                 # round (BASELINE.md); no cross-baseline ratio exists
                 "vs_baseline": 0.0,
                 "ms_per_round": res["ms_per_round_mean"],
+                # steady-state (median post-warmup round): what the pipeline
+                # sustains once one-off XLA compiles are absorbed
+                "blocks_per_s_steady": res.get("blocks_per_s_steady"),
+                "warmup_s": res.get("warmup_s"),
                 "rotations_per_s": res["rotations_per_s"],
                 "keyswitches_per_s": res["keyswitches_per_s"],
                 "bootstrap_s_total": res["bootstrap_s_total"],

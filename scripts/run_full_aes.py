@@ -262,6 +262,12 @@ def main():
         "wall_s": round(wall, 2),
         "warmup_s": round(warmup_s, 2),
         "blocks_per_s_10round": round(blocks / wall, 2),
+        # steady-state throughput: the same 10-round pipeline at the median
+        # post-warmup round time (round 1 can still carry residual one-off
+        # compiles when the warmup is disabled or the cache is cold)
+        "blocks_per_s_steady": round(
+            blocks / (rounds * float(np.median(round_times[1:]))), 2)
+        if len(round_times) > 1 else round(blocks / wall, 2),
         "ms_per_round_mean": round(1000 * wall / rounds, 1),
         "round_times_s": [round(x, 2) for x in round_times],
         "bootstraps": len(boot_times),
