@@ -489,27 +489,17 @@ def _apply_group(engine, ct: Ciphertext, plan: dict, tag: str,
         # and len(ents)-1 fewer full-height rescale programs -- the warm
         # prod_boot bootstrap spent ~half its wall in per-diagonal rescales
         # before this (PERF.md round-4 warm breakdown)
-        pairs = []
-        for ent in ents:
-            b_ct = baby_map[-g * ent["beta"]]
-            if not hi:
-                # non-hi diagonals are re-encoded ON DEVICE per application
-                # instead of cached: the c64 device embedding costs ~ms and
-                # carries ~1e-6 relative error -- far below the bootstrap's
-                # mod-down residual (~1e-2 at N=2^16) -- while caching them
-                # held ~550 MB of HBM across the STC groups at prod_boot,
-                # memory the 10-round flagship needs for its refreshes
-                pt = engine.encode(np.roll(ent["u"] * scalar, shift),
-                                   level=b_ct.level, device=True)
-            else:
-                # hi diagonals are cached as HOST digit payloads (~1.3 MB
-                # each) and re-materialized on device per use: keeping the
-                # ~180 encoded [rows, N] plaintexts resident cost ~2.9 GB
-                # of HBM, which the flagship needs as headroom (the chip
-                # also carries 7.5 GB of keys).  The re-materialization is
-                # one [5, N] upload + a trivial CRT+NTT program per entry.
-                # Payloads are plain numpy, so this cache is trace-safe by
-                # construction (no tracer can be stored).
+        if hi:
+            # hi diagonals are cached as HOST digit payloads (~1.3 MB
+            # each): keeping the ~180 encoded [rows, N] plaintexts resident
+            # cost ~2.9 GB of HBM, which the flagship needs as headroom
+            # (the chip also carries 7.5 GB of keys).  The whole gamma-
+            # group re-materializes per use through ONE batched upload +
+            # digit-CRT program (engine.fused_payload_sum); the payload
+            # cache is trace-safe by construction (numpy only).
+            b_cts, pays = [], []
+            for ent in ents:
+                b_ct = baby_map[-g * ent["beta"]]
                 key = (id(params), tag, hi, ent["delta"], b_ct.level,
                        round(np.log2(b_ct.scale) * 1e6))
                 hit = _diag_cache.store.get(key)
@@ -517,9 +507,24 @@ def _apply_group(engine, ct: Ciphertext, plan: dict, tag: str,
                     hit = engine.encode_payload(
                         np.roll(ent["u"] * scalar, shift), enc_scale)
                     _diag_cache.store[key] = hit
-                pt = engine.payload_to_plaintext(hit, b_ct.level, enc_scale)
-            pairs.append((b_ct, pt))
-        acc = engine.fused_pt_sum(pairs, rescales=2 if hi else 1)
+                b_cts.append(b_ct)
+                pays.append(hit)
+            acc = engine.fused_payload_sum(b_cts, pays, enc_scale,
+                                           rescales=2)
+        else:
+            # non-hi diagonals are re-encoded ON DEVICE per application
+            # instead of cached: the c64 device embedding costs ~ms and
+            # carries ~1e-6 relative error -- far below the bootstrap's
+            # mod-down residual (~1e-2 at N=2^16) -- while caching them
+            # held ~550 MB of HBM across the STC groups at prod_boot,
+            # memory the 10-round flagship needs for its refreshes
+            pairs = []
+            for ent in ents:
+                b_ct = baby_map[-g * ent["beta"]]
+                pt = engine.encode(np.roll(ent["u"] * scalar, shift),
+                                   level=b_ct.level, device=True)
+                pairs.append((b_ct, pt))
+            acc = engine.fused_pt_sum(pairs, rescales=1)
         # giant rotation as power-of-two hops: non-pow2 gammas have no
         # direct key (see _pow2_hops -- each dropped key is ~231 MB of HBM
         # at prod_boot); the hop chain costs one extra switch per composite

@@ -97,6 +97,33 @@ def _encode_core(params, tabs, residues, level: int):
 
 
 @functools.partial(jax.jit, static_argnums=(0, 3))
+def _digits_batch_core(params, tabs, payloads, level: int):
+    """Batched _digits_encode_core: payloads [K, 5, N] -> [K, rows, N]
+    Montgomery-eval plaintext data.  One upload + one program per BATCH of
+    digit payloads (the bootstrap materializes a whole gamma-group's
+    diagonals per call instead of per entry)."""
+    rows = ops_impl._rows(params, level, False)
+    tr = ops_impl._tabs_rows(tabs, rows)
+    q = tr["q"].reshape((1, -1, 1))
+    primes = [int(x) for x in np.asarray(params.q_primes)[np.asarray(rows)]]
+    w = [[pow(1 << 22, k, p) for p in primes] for k in range(4)]
+    wsh = [[rns.shoup_precompute(w[k][i], primes[i])
+            for i in range(len(primes))] for k in range(4)]
+    w = jnp.asarray(np.asarray(w, dtype=np.uint32))          # [4, L]
+    wsh = jnp.asarray(np.asarray(wsh, dtype=np.uint32))
+    acc = None
+    for k in range(4):
+        term = rns.shoup_mul(payloads[:, k, None, :], w[k].reshape(-1, 1),
+                             wsh[k].reshape(-1, 1), q)
+        acc = term if acc is None else rns.add_mod(acc, term, q)
+    neg = (payloads[:, 4, None, :] != 0)
+    res = jnp.where(neg, rns.neg_mod(acc, q), acc)
+    xm = rns.to_mont(res, q, tr["qinv"].reshape((1, -1, 1)),
+                     tr["r2"].reshape((1, -1, 1)))
+    return ops_impl.ntt_rows(xm, tr)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 3))
 def _digits_encode_core(params, tabs, payload, level: int):
     """Exact encode from base-2^22 digits: payload [5, N] uint32 = four
     digit rows + a sign row (encoding.coeffs_to_digits).  The per-prime
@@ -954,6 +981,32 @@ class Engine:
         data = ops_impl.ct_linear_combo_dense(self.params, self.tabs,
                                               stack, ptd)
         out = Ciphertext(data, base * ps)
+        for _ in range(rescales):
+            out = self._rescale(out)
+        return out
+
+    def fused_payload_sum(self, cts: Sequence, payloads: Sequence,
+                          pt_scale: float, rescales: int = 1) -> Ciphertext:
+        """fused_pt_sum whose plaintexts arrive as HOST digit payloads:
+        one [K, 5, N] upload + one batched digit-CRT+NTT program
+        materializes the whole group's plaintexts, then the usual fused
+        multiply-accumulate with rescale(s) on the sum.  Per-entry
+        plaintext uploads through the relay cost ~15-25 ms each; batching
+        them recovers the device-cache-era group speed at ~1/12 of the
+        HBM (the bootstrap's hi-diagonal path)."""
+        lvl = min(ct.level for ct in cts)
+        self._check_levels(lvl)
+        base = cts[0].scale
+        for ct in cts:
+            if abs(ct.scale - base) / base > _SCALE_ACCEPT:
+                raise ValueError("fused_payload_sum ct scales differ")
+        ptd = _digits_batch_core(self.params, self.tabs,
+                                 jnp.asarray(np.stack(payloads)), lvl)
+        self._count("pt_mul", len(cts))
+        stack = jnp.stack([ct.data[:, :lvl + 1] for ct in cts])
+        data = ops_impl.ct_linear_combo_dense(self.params, self.tabs,
+                                              stack, ptd)
+        out = Ciphertext(data, base * pt_scale)
         for _ in range(rescales):
             out = self._rescale(out)
         return out
