@@ -398,6 +398,86 @@ class _DiagCache:
 _diag_cache = _DiagCache()
 
 
+class _ResidentCache:
+    """Budget-capped DEVICE-resident cache of materialized hi-diagonal
+    plaintext stacks ([K, lvl+1, N] Montgomery eval, one per gamma-group).
+
+    The round-4 frontier measurement (PERF.md "memory/speed frontier"):
+    with diagonals resident the warm prod_boot bootstrap free-runs at
+    0.38-0.65 s, vs 5-7 s when every gamma-group re-uploads its ~10 MB
+    payload through the relay (~25 ms RPC each).  Unbounded device caching
+    OOMs because the axon backend accumulates loaded executables across
+    client runs, so this cache spends a fixed byte budget
+    (AESFHE_RESIDENT_MB, default 2300 MB ~= the CTS groups at prod_boot)
+    hot-first and lets the overflow ride the streamed-payload path.
+    A second, much smaller budget (AESFHE_RESIDENT_PAYLOAD_MB, default
+    400 MB) keeps the overflow's RAW [K, 5, N] digit stacks device-side
+    (~12x smaller), so a budget miss still skips the relay RPC and pays
+    only the digit-CRT+NTT re-materialization program.
+
+    Sizing at prod_boot (measured, scripts/ budget probe r5): the full hi
+    set is ~2.47 GB of materialized stacks (cts0 440 + cts1 835 + cts2
+    803 + stc0 ~394 MB) and ~276 MB of raw digit stacks; the 2600 MB
+    default holds everything with the uniform-work-level flagship, whose
+    group levels repeat exactly across all refreshes."""
+
+    def __init__(self):
+        self.store: Dict[Any, Any] = {}
+        self.bytes = 0
+        self.pay_store: Dict[Any, Any] = {}
+        self.pay_bytes = 0
+
+    @property
+    def budget(self) -> int:
+        return int(float(os.environ.get("AESFHE_RESIDENT_MB", "2600"))
+                   * 2 ** 20)
+
+    @property
+    def pay_budget(self) -> int:
+        return int(float(os.environ.get("AESFHE_RESIDENT_PAYLOAD_MB", "400"))
+                   * 2 ** 20)
+
+    def get(self, key):
+        return self.store.get(key)
+
+    def put(self, key, arr) -> bool:
+        if isinstance(arr, jax.core.Tracer):
+            return False
+        nb = int(arr.size) * arr.dtype.itemsize
+        if self.bytes + nb > self.budget:
+            return False
+        self.store[key] = arr
+        self.bytes += nb
+        return True
+
+    def get_pay(self, key):
+        return self.pay_store.get(key)
+
+    def drop_pay(self, key):
+        arr = self.pay_store.pop(key, None)
+        if arr is not None:
+            self.pay_bytes -= int(arr.size) * arr.dtype.itemsize
+
+    def put_pay(self, key, arr) -> bool:
+        if isinstance(arr, jax.core.Tracer):
+            return False
+        nb = int(arr.size) * arr.dtype.itemsize
+        if self.pay_bytes + nb > self.pay_budget:
+            return False
+        self.pay_store[key] = arr
+        self.pay_bytes += nb
+        return True
+
+    def clear(self):
+        self.store.clear()
+        self.pay_store.clear()
+        self.bytes = 0
+        self.pay_bytes = 0
+
+
+_resident = _ResidentCache()
+
+
 def _apply_linear_map(engine, ct: Ciphertext, diag_fn, tag: str,
                       bk: BootstrapKey) -> Ciphertext:
     """out_slots = M @ in_slots with diag_fn(d) -> complex [sc] diagonal
@@ -480,6 +560,42 @@ def _apply_group(engine, ct: Ciphertext, plan: dict, tag: str,
                      float(params.q_primes[lvl - 1]) / ct.scale)
     else:
         enc_scale = None
+    # hi-tier cache keying: the payload CONTENT is roll(u * scalar) encoded
+    # at enc_scale, so the key must capture both (ADVICE r4: the fstc0drop
+    # scalar depends on the bootstrap INPUT's scale -- two inputs at
+    # different scales in one process must not share payloads)
+    if hi:
+        sc_key = (round(np.log2(abs(scalar)) * 1e6) if scalar != 0 else 0,
+                  round(np.angle(scalar) * 1e6),
+                  round(np.log2(enc_scale) * 1e6))
+
+        def _host_payloads(ents, shift):
+            pays = []
+            for ent in ents:
+                key = (id(params), tag, ent["delta"], lvl, sc_key)
+                hit = _diag_cache.store.get(key)
+                if hit is None:
+                    hit = engine.encode_payload(
+                        np.roll(ent["u"] * scalar, shift), enc_scale)
+                    _diag_cache.store[key] = hit
+                pays.append(hit)
+            return pays
+
+        # PREFETCH: issue the uploads for every non-resident gamma-group
+        # BEFORE any compute, so group k+1's ~10 MB stack rides the relay
+        # behind group k's multiply-accumulate instead of stalling it
+        # (the relay pipelines ~40 async ops; a synchronous upload per
+        # group cost ~5 s of each warm prod_boot bootstrap, PERF.md r4)
+        prefetched: Dict[int, Any] = {}
+        for gamma, ents in sorted(by_gamma.items()):
+            gkey = (id(params), tag, gamma, lvl, sc_key)
+            if _resident.get(gkey) is None:
+                stackp = _resident.get_pay(gkey)
+                if stackp is None:
+                    pays = _host_payloads(ents, g * B * gamma)
+                    stackp = jax.device_put(np.stack(pays))
+                    _resident.put_pay(gkey, stackp)
+                prefetched[gamma] = stackp
     out = None
     for gamma, ents in sorted(by_gamma.items()):
         shift = g * B * gamma
@@ -490,27 +606,21 @@ def _apply_group(engine, ct: Ciphertext, plan: dict, tag: str,
         # prod_boot bootstrap spent ~half its wall in per-diagonal rescales
         # before this (PERF.md round-4 warm breakdown)
         if hi:
-            # hi diagonals are cached as HOST digit payloads (~1.3 MB
-            # each): keeping the ~180 encoded [rows, N] plaintexts resident
-            # cost ~2.9 GB of HBM, which the flagship needs as headroom
-            # (the chip also carries 7.5 GB of keys).  The whole gamma-
-            # group re-materializes per use through ONE batched upload +
-            # digit-CRT program (engine.fused_payload_sum); the payload
-            # cache is trace-safe by construction (numpy only).
-            b_cts, pays = [], []
-            for ent in ents:
-                b_ct = baby_map[-g * ent["beta"]]
-                key = (id(params), tag, hi, ent["delta"], b_ct.level,
-                       round(np.log2(b_ct.scale) * 1e6))
-                hit = _diag_cache.store.get(key)
-                if hit is None:
-                    hit = engine.encode_payload(
-                        np.roll(ent["u"] * scalar, shift), enc_scale)
-                    _diag_cache.store[key] = hit
-                b_cts.append(b_ct)
-                pays.append(hit)
-            acc = engine.fused_payload_sum(b_cts, pays, enc_scale,
-                                           rescales=2)
+            # hi diagonals: budget-capped DEVICE-resident materialized
+            # stacks (tier A), device-resident raw digit stacks (tier B),
+            # host payload streaming (tier C) -- see _ResidentCache.  The
+            # host payload cache is trace-safe by construction (numpy
+            # only); the resident tiers refuse tracers.
+            b_cts = [baby_map[-g * ent["beta"]] for ent in ents]
+            gkey = (id(params), tag, gamma, lvl, sc_key)
+            ptd = _resident.get(gkey)
+            if ptd is None:
+                ptd = engine.materialize_payloads(prefetched[gamma], lvl)
+                if _resident.put(gkey, ptd):
+                    # tier A holds the materialized stack; the raw digit
+                    # copy in tier B is now redundant
+                    _resident.drop_pay(gkey)
+            acc = engine.fused_ptd_sum(b_cts, ptd, enc_scale, rescales=2)
         else:
             # non-hi diagonals are re-encoded ON DEVICE per application
             # instead of cached: the c64 device embedding costs ~ms and
@@ -645,8 +755,12 @@ def _cheb_eval_ps(engine, coeffs: np.ndarray, u: Ciphertext, rlk,
     full-ring hi_prec bootstrap still failed while n=2^10 (denser prime
     pool, milder drift) passed."""
     def mul(a, b):
-        t = engine.multiply(a, b, rlk)
-        return engine._rescale(t) if hi else t
+        # hi: ONE fused pair-drop rescale (multiply_pair) instead of the
+        # multiply's rescale + a second _rescale -- halves the rescale-
+        # kernel count of the squaring ladder (VERDICT r4 weak #2)
+        if hi:
+            return engine.multiply_pair(a, b, rlk)
+        return engine.multiply(a, b, rlk)
 
     def step2(a, b):
         """2*a*b: multiply (+ extra paired rescale when hi), then double.
@@ -763,8 +877,9 @@ def _eval_mod(engine, u_raw: Ciphertext, bk: BootstrapKey, rlk,
     r = bk.double_angles
 
     def mul(a, b):
-        t = engine.multiply(a, b, rlk)
-        return engine._rescale(t) if hi else t
+        if hi:
+            return engine.multiply_pair(a, b, rlk)
+        return engine.multiply(a, b, rlk)
 
     _, b_shift, theta_max = eval_mod_scales(bk, q0, delta)
     u = engine.add_plain(u_raw, b_shift)
@@ -805,34 +920,39 @@ class _PhaseTimer:
     """Opt-in per-phase wall/op-count profile of one bootstrap() call
     (AESFHE_BOOT_TIMES=1).  Each mark blocks on the phase's output, so it
     perturbs the async dispatch pipeline -- profiling runs only; the
-    production path never syncs mid-bootstrap."""
+    production path never syncs mid-bootstrap.
+
+    State is PER-INSTANCE (one instance per bootstrap() call), so
+    concurrent engines or re-entrant bootstraps cannot interleave a
+    profile (ADVICE r4); `publish()` snapshots the finished profile onto
+    the class attributes `enabled`/`records` for probe scripts that read
+    the last completed call (scripts/prod_boot_probe.py)."""
     enabled = False
     records: list = []
-    _eng = None
-    _snap: dict = {}
-    _t0 = 0.0
 
-    @classmethod
-    def begin(cls, engine):
-        cls.enabled = bool(int(os.environ.get("AESFHE_BOOT_TIMES", "0")))
-        if not cls.enabled:
-            return
-        cls.records = []
-        cls._eng = engine
-        cls._snap = dict(engine.counters)
-        cls._t0 = time.perf_counter()
+    def __init__(self, engine):
+        self.on = bool(int(os.environ.get("AESFHE_BOOT_TIMES", "0")))
+        self.recs: list = []
+        if self.on:
+            self._eng = engine
+            self._snap = dict(engine.counters)
+            self._t0 = time.perf_counter()
 
-    @classmethod
-    def mark(cls, name, out):
-        if not cls.enabled:
+    def mark(self, name, out):
+        if not self.on:
             return
         jax.block_until_ready(out.data if hasattr(out, "data") else out)
         now = time.perf_counter()
-        cur = dict(cls._eng.counters)
-        delta = {k: cur[k] - cls._snap[k] for k in cur
-                 if cur[k] != cls._snap[k]}
-        cls.records.append((name, now - cls._t0, delta))
-        cls._snap, cls._t0 = cur, now
+        cur = dict(self._eng.counters)
+        delta = {k: cur[k] - self._snap[k] for k in cur
+                 if cur[k] != self._snap[k]}
+        self.recs.append((name, now - self._t0, delta))
+        self._snap, self._t0 = cur, now
+
+    def publish(self):
+        _PhaseTimer.enabled = self.on
+        if self.on:
+            _PhaseTimer.records = self.recs
 
     @classmethod
     def report_str(cls) -> str:
@@ -848,13 +968,13 @@ def bootstrap(engine, ct: Ciphertext, relin_key, conj_key,
             "(single-prime rescale, sparse secret)")
     params = engine.params
     engine._count("bootstrap")
-    _PhaseTimer.begin(engine)
+    pt = _PhaseTimer(engine)
     q0 = int(params.q_primes[0])
     sc = params.slot_count
     half = sc
 
     raised = _mod_raise(engine, ct)
-    _PhaseTimer.mark("mod_raise", raised)
+    pt.mark("mod_raise", raised)
     # pre-normalize so CoeffToSlot operates on O(1) values (see
     # eval_mod_scales); the factored path over-scales by `prescale` to keep
     # the rotation key-switch noise small relative to the signal, folding
@@ -872,18 +992,18 @@ def bootstrap(engine, ct: Ciphertext, relin_key, conj_key,
             # pre-normalization multiply costs zero levels
             yp = _apply_group(engine, raised, plans[0], "fcts0lift",
                               bootstrap_key, scalar=a_scale * f, hi=True)
-            _PhaseTimer.mark("cts0", yp)
+            pt.mark("cts0", yp)
             for i, plan in enumerate(plans[1:-1], 1):
                 yp = _apply_group(engine, yp, plan, f"fcts{i}",
                                   bootstrap_key, hi=True)
-                _PhaseTimer.mark(f"cts{i}", yp)
+                pt.mark(f"cts{i}", yp)
         else:
             yp = _apply_chain(engine, raised, plans[:-1], "fcts",
                               bootstrap_key)
         last = plans[-1]
         y_a = _apply_group(engine, yp, last, f"fctsA{f:g}", bootstrap_key,
                            scalar=1.0 / f, hi=hi)
-        _PhaseTimer.mark("ctsLast", y_a)
+        pt.mark("ctsLast", y_a)
         # y_b = (-i*G) x = -i * (G x): one EXACT zeta4 scalar multiply
         # (multiply_i: no level, no noise) replaces a second full group
         # evaluation -- and its ~63 cached dense diagonal plaintexts, which
@@ -891,14 +1011,14 @@ def bootstrap(engine, ct: Ciphertext, relin_key, conj_key,
         y_b = engine.negate(engine.multiply_i(y_a))
         ct_a = engine.add(y_a, engine.conjugate(y_a, conj_key))
         ct_b = engine.add(y_b, engine.conjugate(y_b, conj_key))
-        _PhaseTimer.mark("conj_split", ct_b)
+        pt.mark("conj_split", ct_b)
         m_a = _eval_mod(engine, ct_a, bootstrap_key, relin_key, q0, ct.scale)
-        _PhaseTimer.mark("evalmod_a", m_a)
+        pt.mark("evalmod_a", m_a)
         # fold the *i of the half-recombine into EvalMod's final constant
         # (exact zeta4 multiply when hi: _eval_mod returned the raw sin)
         m_b = _eval_mod(engine, ct_b, bootstrap_key, relin_key, q0, ct.scale,
                         final_mult=1j)
-        _PhaseTimer.mark("evalmod_b", m_b)
+        pt.mark("evalmod_b", m_b)
         if hi:
             v = engine.add(m_a, engine.multiply_i(m_b))
             fm = q0 / (2 * np.pi * ct.scale)
@@ -907,13 +1027,16 @@ def bootstrap(engine, ct: Ciphertext, relin_key, conj_key,
             v = _apply_group(engine, v, sp[0], "fstc0drop", bootstrap_key,
                              scalar=fm, hi=True,
                              out_scale=engine.params.scale)
-            _PhaseTimer.mark("stc0", v)
+            pt.mark("stc0", v)
             out = _apply_chain(engine, v, sp[1:], "fstc1on", bootstrap_key)
-            _PhaseTimer.mark("stc_rest", out)
+            pt.mark("stc_rest", out)
+            pt.publish()
             return out
         v = engine.add(m_a, m_b)
-        return _apply_chain(engine, v, bootstrap_key.stc_plan, "fstc",
-                            bootstrap_key)
+        out = _apply_chain(engine, v, bootstrap_key.stc_plan, "fstc",
+                           bootstrap_key)
+        pt.publish()
+        return out
     # dense fallback: two maps per direction over closed-form diagonals
     f_a, f_b = _cts_diag(params, half)
     w_a = _apply_linear_map(engine, raised, f_a, "cts_a", bootstrap_key)

@@ -382,6 +382,80 @@ def ct_rescale(params: CKKSParams, tabs: DeviceTables, a):
     return out
 
 
+@functools.partial(jax.jit, static_argnums=0)
+@jax.named_scope("ckks.rescale_pair")
+def ct_rescale_pair(params: CKKSParams, tabs: DeviceTables, a):
+    """Drop the top TWO primes q_l, q_{l-1} in ONE fused kernel.
+
+    a: [k, l+1, N] -> [k, l-1, N].  Garner-combines the two dropped limbs
+    into the centered value v mod (q_a*q_b), lifts it into every remaining
+    modulus, subtracts, and multiplies by (q_a*q_b)^{-1} -- one rounding
+    and one INTT(2 rows)+NTT(l-1 rows) pass instead of two sequential
+    ct_rescale programs (two roundings, two NTT passes).  This is the
+    rescale the paired-prime hi-precision tier (bootstrap hi_prec, the
+    2^52-scale hp profiles) issues on every product; sequential-vs-fused
+    parity is asserted by tests/test_engine.py."""
+    k, lp1, n = a.shape
+    level = lp1 - 1
+    assert level >= 2, "need two droppable limbs"
+    qa = int(params.q_primes[level])          # dropped first (top)
+    qb = int(params.q_primes[level - 1])
+    rows_rest = _rows(params, level - 2, False)
+    tr_rest = _tabs_rows(tabs, rows_rest)
+    tr_pair = _tabs_rows(tabs, np.asarray([level - 1, level], dtype=np.int32))
+    # 1) both dropped limbs -> plain coefficients
+    pair = a[:, level - 1:level + 1, :]                  # [k,2,N] mont eval
+    pair_coeff = intt_rows(pair, tr_pair)
+    pair_plain = rns.from_mont(pair_coeff, tr_pair["q"].reshape(1, -1, 1),
+                               tr_pair["qinv"].reshape(1, -1, 1))
+    v_b = pair_plain[:, 0:1, :]                          # value mod q_b
+    v_a = pair_plain[:, 1:2, :]                          # value mod q_a
+    # 2) Garner: v = v_a + q_a * t,  t = (v_b - v_a) * q_a^{-1} mod q_b
+    qb_u = jnp.uint32(qb)
+    magic_b = jnp.uint32(rns.barrett_magic(qb))
+    va_red = rns.barrett_reduce(v_a, qb_u, magic_b)
+    qa_inv_b = pow(qa % qb, -1, qb)
+    t = rns.shoup_mul(rns.sub_mod(v_b, va_red, qb_u),
+                      jnp.uint32(qa_inv_b),
+                      jnp.uint32(rns.shoup_precompute(qa_inv_b, qb)), qb_u)
+    # 3) exact centered test: v >= (q_a*q_b+1)/2  <=>
+    #    t > (q_b-1)/2  or  (t == (q_b-1)/2 and v_a >= (q_a+1)/2)
+    h = jnp.uint32((qb - 1) // 2)
+    high = (t > h) | ((t == h) & (v_a >= jnp.uint32((qa + 1) // 2)))
+    # 4) lift into each remaining modulus (minus q_a*q_b when centered-high)
+    q_rest = tr_rest["q"].reshape((1, -1, 1))
+    magic_rest = tr_rest["magic"].reshape((1, -1, 1))
+    rest_primes = [int(q) for q in np.asarray(params.q_primes[:level - 1])]
+    qa_mod = np.asarray([qa % q for q in rest_primes], dtype=np.uint32)
+    qa_sh = np.asarray([rns.shoup_precompute(int(w), q)
+                        for w, q in zip(qa_mod, rest_primes)], dtype=np.uint32)
+    qab_mod = np.asarray([(qa * qb) % q for q in rest_primes], dtype=np.uint32)
+    t_red = rns.barrett_reduce(t, q_rest, magic_rest)     # [k,L',N]
+    va_rest = rns.barrett_reduce(v_a, q_rest, magic_rest)
+    lift = rns.add_mod(va_rest,
+                       rns.shoup_mul(t_red,
+                                     jnp.asarray(qa_mod).reshape((1, -1, 1)),
+                                     jnp.asarray(qa_sh).reshape((1, -1, 1)),
+                                     q_rest), q_rest)
+    lifted = jnp.where(high,
+                       rns.sub_mod(lift,
+                                   jnp.asarray(qab_mod).reshape((1, -1, 1)),
+                                   q_rest), lift)
+    # 5) to Montgomery, NTT under each remaining modulus
+    lifted_m = rns.to_mont(lifted, q_rest, tr_rest["qinv"].reshape((1, -1, 1)),
+                           tr_rest["r2"].reshape((1, -1, 1)))
+    lifted_eval = ntt_rows(lifted_m, tr_rest)
+    # 6) subtract and divide by q_a*q_b
+    qab_inv = np.asarray([pow((qa * qb) % q, -1, q) for q in rest_primes],
+                         dtype=np.uint32)
+    qab_inv_sh = np.asarray([rns.shoup_precompute(int(w), q)
+                             for w, q in zip(qab_inv, rest_primes)],
+                            dtype=np.uint32)
+    diff = rns.sub_mod(a[:, :level - 1, :], lifted_eval, q_rest)
+    return rns.shoup_mul(diff, jnp.asarray(qab_inv).reshape((1, -1, 1)),
+                         jnp.asarray(qab_inv_sh).reshape((1, -1, 1)), q_rest)
+
+
 def ct_drop_to(params: CKKSParams, a, target_level: int):
     """Modulus switch down by simply dropping limbs (scale unchanged)."""
     return a[:, :target_level + 1, :]

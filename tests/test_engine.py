@@ -332,3 +332,81 @@ def test_digit_crt_encode_bit_exact(tiny_engine):
             p.top_level)
         new = eng.encode(z, scale=scale)
         assert np.array_equal(np.asarray(old), np.asarray(new.data)), scale
+
+
+def test_rescale_pair_exact_oracle(tiny_engine):
+    # the fused two-prime rescale (ops_impl.ct_rescale_pair, the kernel
+    # behind every hi-precision product) must equal the EXACT integer
+    # oracle round_nearest(v / (q_a*q_b)) -- the single-rounding division
+    # the two sequential ct_rescale programs only approximate (each does
+    # its own rounding; they may differ from the oracle by 1)
+    import jax.numpy as jnp
+    from aesfhe_tpu.core import ops_impl, rns
+    from aesfhe_tpu.core import keys as keys_mod
+    E = tiny_engine
+    eng = E["eng"]
+    p = eng.params
+    lvl = p.top_level
+    qa, qb = int(p.q_primes[lvl]), int(p.q_primes[lvl - 1])
+    qprod = 1
+    for q in p.q_primes[:lvl + 1]:
+        qprod *= int(q)
+    rng = np.random.RandomState(13)
+    # random centered big integers across the whole modulus range
+    v = np.array([(int(rng.randint(0, 1 << 62)) * int(rng.randint(0, 1 << 60))
+                   + int(rng.randint(0, 1 << 30))) % qprod
+                  for _ in range(p.n)], dtype=object)
+    rows = np.arange(lvl + 1, dtype=np.int32)
+    res = np.zeros((lvl + 1, p.n), dtype=np.uint32)
+    for i in range(lvl + 1):
+        res[i] = np.array([int(x) % int(p.q_primes[i]) for x in v],
+                          dtype=np.uint32)
+    a_eval = keys_mod._to_eval(p, eng.tabs, res, rows)[None]  # [1, l+1, N]
+    out = np.asarray(ops_impl.ct_rescale_pair(p, eng.tabs, a_eval))
+    # back to plain coefficients
+    tr = ops_impl._tabs_rows(eng.tabs, rows[:-2])
+    coeff = np.asarray(rns.from_mont(
+        ops_impl.intt_rows(jnp.asarray(out), tr),
+        tr["q"].reshape(1, -1, 1), tr["qinv"].reshape(1, -1, 1)))[0]
+    # oracle: centered v, exact nearest-integer division by qa*qb,
+    # compared against the FULL CRT reconstruction of the output limbs
+    prs = [int(q) for q in p.q_primes[:lvl - 1]]
+    M = 1
+    for q in prs:
+        M *= q
+    for j in rng.choice(p.n, 64, replace=False):
+        vc = int(v[j])
+        if vc > qprod // 2:
+            vc -= qprod
+        want = (2 * vc + qa * qb) // (2 * qa * qb)  # round-nearest, qaqb odd
+        got = 0
+        for i, q in enumerate(prs):
+            Mi = M // q
+            got = (got + int(coeff[i, j]) * Mi * pow(Mi, -1, q)) % M
+        if got > M // 2:
+            got -= M
+        assert got == want, (j, got, want)
+
+
+def test_multiply_pair_matches_sequential(tiny_engine):
+    # engine.multiply_pair (fused pair-drop product of the hi tier) is
+    # bit-exactly the sequential multiply + one extra _rescale on real
+    # prime chains (the two roundings and the fused single rounding only
+    # diverge on adversarial half-way values; see the exact oracle test),
+    # at the same (level, scale).  Decode correctness of the pair drop at
+    # a REPRESENTATIVE hi scale is covered by
+    # test_fused_pt_sum_double_rescale; a Delta-scale product double-
+    # rescaled lands at scale ~1 by design, so no value check here.
+    E = tiny_engine
+    eng = E["eng"]
+    sc = eng.slot_count
+    rng = np.random.RandomState(17)
+    x = rng.rand(sc) - 0.5
+    y = rng.rand(sc) - 0.5
+    a = eng.encrypt(x, E["pk"])
+    b = eng.encrypt(y, E["pk"])
+    fused = eng.multiply_pair(a, b, E["rlk"])
+    seq = eng._rescale(eng.multiply(a, b, E["rlk"]))
+    assert fused.level == seq.level
+    assert abs(fused.scale - seq.scale) / seq.scale < 1e-12
+    assert np.array_equal(np.asarray(fused.data), np.asarray(seq.data))
