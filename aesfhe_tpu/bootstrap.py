@@ -477,6 +477,18 @@ class _ResidentCache:
 
 _resident = _ResidentCache()
 
+# Diagonal routing hooks for the FUSED bootstrap (one jitted program per
+# bootstrap instead of ~1300 per-op dispatches -- launch overhead through
+# the relay is ~3 ms/op, i.e. MOST of the warm bootstrap wall, measured
+# r5 phase probe).  Under tracing the diagonal stacks must be ARGUMENTS,
+# not captured constants (2.5+ GB of constants breaks the relay upload):
+#   _diag_recorder: dict filled by one eager capture run with every
+#       (tag, gamma) -> materialized stack, bypassing the byte budget
+#   _diag_provider: dict consulted INSTEAD of the caches while tracing;
+#       the jitted wrapper passes the recorded stacks as args in order
+_diag_recorder: Dict[Any, Any] | None = None
+_diag_provider: Dict[Any, Any] | None = None
+
 
 def _apply_linear_map(engine, ct: Ciphertext, diag_fn, tag: str,
                       bk: BootstrapKey) -> Ciphertext:
@@ -587,15 +599,21 @@ def _apply_group(engine, ct: Ciphertext, plan: dict, tag: str,
         # (the relay pipelines ~40 async ops; a synchronous upload per
         # group cost ~5 s of each warm prod_boot bootstrap, PERF.md r4)
         prefetched: Dict[int, Any] = {}
-        for gamma, ents in sorted(by_gamma.items()):
-            gkey = (id(params), tag, gamma, lvl, sc_key)
-            if _resident.get(gkey) is None:
-                stackp = _resident.get_pay(gkey)
-                if stackp is None:
-                    pays = _host_payloads(ents, g * B * gamma)
-                    stackp = jax.device_put(np.stack(pays))
-                    _resident.put_pay(gkey, stackp)
-                prefetched[gamma] = stackp
+        if _diag_provider is None:
+            for gamma, ents in sorted(by_gamma.items()):
+                gkey = (id(params), tag, gamma, lvl, sc_key)
+                if _resident.get(gkey) is None:
+                    stackp = _resident.get_pay(gkey)
+                    if stackp is None:
+                        pays = _host_payloads(ents, g * B * gamma)
+                        stackp = jax.device_put(np.stack(pays))
+                        _resident.put_pay(gkey, stackp)
+                    prefetched[gamma] = stackp
+    else:
+        # non-hi cache key: content is roll(u * scalar) at scale Delta
+        lvl = ct.level
+        sc_key = (round(np.log2(abs(scalar)) * 1e6) if scalar != 0 else 0,
+                  round(np.angle(scalar) * 1e6))
     out = None
     for gamma, ents in sorted(by_gamma.items()):
         shift = g * B * gamma
@@ -605,36 +623,47 @@ def _apply_group(engine, ct: Ciphertext, plan: dict, tag: str,
         # and len(ents)-1 fewer full-height rescale programs -- the warm
         # prod_boot bootstrap spent ~half its wall in per-diagonal rescales
         # before this (PERF.md round-4 warm breakdown)
+        b_cts = [baby_map[-g * ent["beta"]] for ent in ents]
         if hi:
             # hi diagonals: budget-capped DEVICE-resident materialized
             # stacks (tier A), device-resident raw digit stacks (tier B),
             # host payload streaming (tier C) -- see _ResidentCache.  The
             # host payload cache is trace-safe by construction (numpy
             # only); the resident tiers refuse tracers.
-            b_cts = [baby_map[-g * ent["beta"]] for ent in ents]
             gkey = (id(params), tag, gamma, lvl, sc_key)
-            ptd = _resident.get(gkey)
-            if ptd is None:
-                ptd = engine.materialize_payloads(prefetched[gamma], lvl)
-                if _resident.put(gkey, ptd):
-                    # tier A holds the materialized stack; the raw digit
-                    # copy in tier B is now redundant
-                    _resident.drop_pay(gkey)
+            if _diag_provider is not None:
+                ptd = _diag_provider[(tag, gamma)]
+            else:
+                ptd = _resident.get(gkey)
+                if ptd is None:
+                    ptd = engine.materialize_payloads(prefetched[gamma], lvl)
+                    if _resident.put(gkey, ptd):
+                        # tier A holds the materialized stack; the raw
+                        # digit copy in tier B is now redundant
+                        _resident.drop_pay(gkey)
+                if _diag_recorder is not None:
+                    _diag_recorder[(tag, gamma)] = ptd
             acc = engine.fused_ptd_sum(b_cts, ptd, enc_scale, rescales=2)
         else:
-            # non-hi diagonals are re-encoded ON DEVICE per application
-            # instead of cached: the c64 device embedding costs ~ms and
-            # carries ~1e-6 relative error -- far below the bootstrap's
-            # mod-down residual (~1e-2 at N=2^16) -- while caching them
-            # held ~550 MB of HBM across the STC groups at prod_boot,
-            # memory the 10-round flagship needs for its refreshes
-            pairs = []
-            for ent in ents:
-                b_ct = baby_map[-g * ent["beta"]]
-                pt = engine.encode(np.roll(ent["u"] * scalar, shift),
-                                   level=b_ct.level, device=True)
-                pairs.append((b_ct, pt))
-            acc = engine.fused_pt_sum(pairs, rescales=1)
+            # non-hi diagonals: device-encoded [K, lvl+1, N] stacks, also
+            # resident under the byte budget (the per-call c64 embedding
+            # of ~95 STC diagonals cost ~0.25 s of every warm bootstrap);
+            # on budget overflow fall back to the per-call encode
+            gkey = (id(params), tag, gamma, lvl, sc_key)
+            if _diag_provider is not None:
+                ptd = _diag_provider[(tag, gamma)]
+            else:
+                ptd = _resident.get(gkey)
+                if ptd is None:
+                    ptd = jnp.stack([
+                        engine.encode(np.roll(ent["u"] * scalar, shift),
+                                      level=lvl, device=True).data
+                        for ent in ents])
+                    _resident.put(gkey, ptd)
+                if _diag_recorder is not None:
+                    _diag_recorder[(tag, gamma)] = ptd
+            acc = engine.fused_ptd_sum(b_cts, ptd, engine.params.scale,
+                                       rescales=1)
         # giant rotation as power-of-two hops: non-pow2 gammas have no
         # direct key (see _pow2_hops -- each dropped key is ~231 MB of HBM
         # at prod_boot); the hop chain costs one extra switch per composite
@@ -941,7 +970,10 @@ class _PhaseTimer:
     def mark(self, name, out):
         if not self.on:
             return
-        jax.block_until_ready(out.data if hasattr(out, "data") else out)
+        val = out.data if hasattr(out, "data") else out
+        if isinstance(val, jax.core.Tracer):
+            return                     # fused-bootstrap trace: nothing to time
+        jax.block_until_ready(val)
         now = time.perf_counter()
         cur = dict(self._eng.counters)
         delta = {k: cur[k] - self._snap[k] for k in cur
@@ -957,6 +989,95 @@ class _PhaseTimer:
     @classmethod
     def report_str(cls) -> str:
         return "  ".join(f"{n}:{dt:.2f}s" for n, dt, _ in cls.records)
+
+
+class FusedBootstrap:
+    """The whole bootstrap as ONE jitted XLA program.
+
+    The per-op dispatch design (every engine primitive its own jitted
+    program) costs ~3 ms of launch overhead per op through the axon relay;
+    at ~1300 ops per bootstrap that launch overhead IS most of the measured
+    4.2 s warm wall (r5 phase probe) -- the resident-diagonal cache already
+    removed the uploads.  Tracing bootstrap() end-to-end collapses those
+    launches into one and lets XLA fuse across op boundaries (intermediate
+    [l+1, N] arrays never round-trip HBM between elementwise stages).
+
+    Keys and diagonal stacks are passed as ARGUMENTS (pytrees), never
+    captured as constants: 7.5 GB of rotation keys + 2.5 GB of diagonals
+    as program constants would break the relay's upload path.  One eager
+    capture run (per input signature) records every (tag, gamma) diagonal
+    stack via _diag_recorder and the static output scale; the traced run
+    then serves them back through _diag_provider.
+
+    Static per instance: input (level, scale), params identity, key caps.
+    The flagship's uniform work level means ONE instance serves all 36
+    refresh bootstraps.  Engine counters only tick during the trace, so
+    per-call op counts are not meaningful in fused mode.
+    """
+
+    def __init__(self, engine, relin_key, conj_key, bk: BootstrapKey,
+                 sample_ct: Ciphertext):
+        global _diag_recorder
+        rec: Dict[Any, Any] = {}
+        _diag_recorder = rec
+        try:
+            ref_out = bootstrap(engine, sample_ct, relin_key, conj_key, bk)
+        finally:
+            _diag_recorder = None
+        self.engine = engine
+        self.in_level = sample_ct.level
+        self.in_scale = float(sample_ct.scale)
+        self.out_scale = float(ref_out.scale)
+        self.ref_out = ref_out          # capture run's result (reusable)
+        self.diag_keys = sorted(rec.keys())
+        self.diag_arrays = [rec[k] for k in self.diag_keys]
+        self.rot_elts = sorted(bk.rot.keys.keys())
+        rot_caps = {g: getattr(bk.rot.keys[g], "cap", None)
+                    for g in self.rot_elts}
+        self.relin_key = relin_key
+        self.conj_key = conj_key
+        self.bk = bk
+        in_scale = self.in_scale
+        diag_keys = self.diag_keys
+        rot_elts = self.rot_elts
+
+        def fn(data, rlk_ba, conj_ba, rot_flat, diags):
+            global _diag_provider
+            import dataclasses
+            rlk = SwitchKey(b=rlk_ba[0], a=rlk_ba[1],
+                            cap=getattr(relin_key, "cap", None))
+            cj = SwitchKey(b=conj_ba[0], a=conj_ba[1],
+                           cap=getattr(conj_key, "cap", None))
+            rot = GaloisKeySet(keys={
+                g: SwitchKey(b=rb, a=ra, cap=rot_caps[g])
+                for g, (rb, ra) in zip(rot_elts, rot_flat)})
+            bk2 = dataclasses.replace(bk, rot=rot)
+            _diag_provider = dict(zip(diag_keys, diags))
+            try:
+                out = bootstrap(engine, Ciphertext(data, in_scale),
+                                rlk, cj, bk2)
+            finally:
+                _diag_provider = None
+            return out.data
+
+        self._fn = jax.jit(fn)
+
+    def __call__(self, ct: Ciphertext) -> Ciphertext:
+        if ct.level != self.in_level:
+            raise ValueError(
+                f"fused bootstrap compiled for input level {self.in_level}, "
+                f"got {ct.level}")
+        if abs(ct.scale - self.in_scale) / self.in_scale > 1e-9:
+            raise ValueError(
+                f"fused bootstrap compiled for input scale {self.in_scale}, "
+                f"got {ct.scale}")
+        rot_flat = [(self.bk.rot.keys[g].b, self.bk.rot.keys[g].a)
+                    for g in self.rot_elts]
+        data = self._fn(ct.data,
+                        (self.relin_key.b, self.relin_key.a),
+                        (self.conj_key.b, self.conj_key.a),
+                        rot_flat, self.diag_arrays)
+        return Ciphertext(data, self.out_scale)
 
 
 def bootstrap(engine, ct: Ciphertext, relin_key, conj_key,

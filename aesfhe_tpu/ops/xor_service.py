@@ -145,8 +145,39 @@ class EngineWrapper:
             raise
 
     def bootstrap(self, ct):
+        import os
+        if os.environ.get("AESFHE_FUSED_BOOT", "0") != "0":
+            return self._bootstrap_fused(ct)
         return self.engine.bootstrap(ct, self.relin_key, self.conj_key,
                                      self.boot_key)
+
+    # fused-bootstrap instances, one per input (level, scale) signature;
+    # the flagship's uniform work level needs exactly one
+    _fused_boot: dict | None = None
+
+    def _bootstrap_fused(self, ct):
+        """Whole-bootstrap-as-one-XLA-program path (bootstrap.FusedBootstrap;
+        ~1300 relay launches -> 1).  Opt-in via AESFHE_FUSED_BOOT=1; each new
+        input signature pays one eager capture run + one compile, both
+        covered by the persistent compile cache on reruns."""
+        from ..bootstrap import FusedBootstrap
+        if self._fused_boot is None:
+            self._fused_boot = {}
+        # normalize to level 0: ModRaise only reads the bottom-prime
+        # residues, so dropping first makes ONE compiled program serve
+        # every input level (round outputs land at level 1 or 2)
+        ct = self.engine._drop(ct, 0)
+        key = round(float(np.log2(ct.scale)) * 1e9)
+        inst = self._fused_boot.get(key)
+        if inst is None:
+            inst = FusedBootstrap(self.engine, self.relin_key, self.conj_key,
+                                  self.boot_key, ct)
+            self._fused_boot[key] = inst
+            # the capture run already bootstrapped this exact ciphertext;
+            # reuse its result instead of paying the compile AND the eager
+            # run for the same call
+            return inst.ref_out
+        return inst(ct)
 
     # optional level cap for service-generated rotation keys: a flagship
     # prod_boot round never rotates above level ~19, and a full-basis key

@@ -151,3 +151,26 @@ def test_factored_plans_match_dense():
         for ent in pl["entries"]:
             assert (pl["g"] * (ent["beta"] + pl["B"] * ent["gamma"])) % sc \
                 == ent["delta"] % sc
+
+
+@pytest.mark.slow
+def test_fused_bootstrap_bit_exact(boot):
+    """FusedBootstrap (whole bootstrap as ONE jitted program, keys and
+    diagonal stacks as args) must be bit-identical to the eager per-op
+    path and reusable across calls."""
+    import jax
+    from aesfhe_tpu import bootstrap as bs
+    eng, sk, pk, rlk, conj, bk = (boot[k] for k in
+                                  ("eng", "sk", "pk", "rlk", "conj", "bk"))
+    sc = eng.params.slot_count
+    z = ZetaEncoder.to_zeta(
+        np.random.default_rng(7).integers(0, 16, sc, dtype=np.uint8), 16)
+    low = eng._drop(eng.encrypt(z, pk), 0)
+    fused = bs.FusedBootstrap(eng, rlk, conj, bk, low)
+    out = fused(low)
+    jax.block_until_ready(out.data)
+    assert np.array_equal(np.asarray(out.data), np.asarray(fused.ref_out.data))
+    assert out.scale == fused.ref_out.scale
+    # decodes correctly and to the same values as the eager result
+    err = np.max(np.abs(eng.decrypt(out, sk) - z))
+    assert err < 0.1

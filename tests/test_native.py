@@ -77,3 +77,47 @@ def test_inputs_not_mutated(small):
     native.ntt_fwd_batch(x, params.q_arr, params.tables.w,
                          params.tables.w_sh)
     assert np.array_equal(x, before)
+
+
+def test_pallas_ks_inner_bit_exact():
+    """The Pallas key-switch inner-product kernel (core/pallas_ks.py) must
+    be bit-identical to the XLA loop on the same uint32 Montgomery math
+    (interpret mode on CPU; the real-device timing lives in
+    scripts/bench_pallas_ks.py and PERF.md's Pallas verdict)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from aesfhe_tpu.core import pallas_ks
+    from aesfhe_tpu.core.params import get_params
+    from aesfhe_tpu.core import rns
+
+    p = get_params("tiny")
+    J, M, N = 3, 6, 16384        # N must tile into (64 x 128) lanes
+    rng = np.random.default_rng(5)
+    qs = np.asarray(p.all_primes[:M], dtype=np.uint32)
+    qinv = np.asarray([rns.montgomery_consts(int(q))[0] for q in qs],
+                      dtype=np.uint32)
+    d = np.stack([np.stack([rng.integers(0, q, N, dtype=np.uint32)
+                            for q in qs]) for _ in range(J)])
+    kb = np.stack([np.stack([rng.integers(0, q, N, dtype=np.uint32)
+                             for q in qs]) for _ in range(J)])
+    ka = np.stack([np.stack([rng.integers(0, q, N, dtype=np.uint32)
+                             for q in qs]) for _ in range(J)])
+    want = np.asarray(pallas_ks.ks_inner_xla(
+        jnp.asarray(d), jnp.asarray(kb), jnp.asarray(ka),
+        jnp.asarray(qs), jnp.asarray(qinv)))
+    # interpret=True: run the kernel logic on CPU without Mosaic
+    import functools
+    inner = functools.partial(pl.pallas_call, interpret=True)
+    orig = pl.pallas_call
+    pl.pallas_call = inner
+    try:
+        pallas_ks.ks_inner_pallas._clear_cache()
+        got = np.asarray(pallas_ks.ks_inner_pallas(
+            jnp.asarray(d), jnp.asarray(kb), jnp.asarray(ka),
+            jnp.asarray(qs), jnp.asarray(qinv)))
+    finally:
+        pl.pallas_call = orig
+        pallas_ks.ks_inner_pallas._clear_cache()
+    assert np.array_equal(got, want)

@@ -197,3 +197,58 @@ def test_mesh_engine_bootstrap_bit_exact():
     dec = eng.decrypt(got, sk)
     assert np.array_equal(ZetaEncoder.from_zeta(dec, 16), vals)
     assert got.level >= 4
+
+
+def test_collective_byte_ledger(tiny_engine):
+    """MEASURED collective bytes/counts per distributed program (VERDICT r4
+    next-step #5): walk the compiled jaxprs and assert the ledger, so any
+    change to the collective structure breaks this test and PERF.md's
+    scaling numbers cite measurement, not only the analytic model."""
+    from jax.sharding import Mesh
+    from aesfhe_tpu.parallel.dist_keyswitch import DistKeySwitch
+    from aesfhe_tpu.parallel.dist_ntt import DistNTT
+    from aesfhe_tpu.parallel.comm_ledger import (collective_stats,
+                                                 allreduce_wire_bytes)
+    E = tiny_engine
+    eng = E["eng"]
+    p = eng.params
+    D = 4
+    mesh = Mesh(np.asarray(jax.devices()[:D]), ("limb",))
+    dks = DistKeySwitch(p, eng.tabs, mesh)
+    rlk = E["rlk"]
+    kb, ka = dks.key_shards(rlk)
+    lvl = p.top_level
+    c = jnp.zeros((lvl + 1, p.n), dtype=jnp.uint32)
+    prog = dks._prog(lvl)
+
+    st = collective_stats(prog["keyswitch"], c, kb, ka)
+    # the key-switch reduces ONE [2, M, N] partial product, split into two
+    # uint32-exact 16-bit halves -> exactly 2 psums, operand bytes each =
+    # 2 * M * N * 4
+    M = lvl + 1 + p.num_special
+    per_psum = 2 * M * p.n * 4
+    assert st.counts == {"psum": 2}, st.counts
+    assert st.bytes_in["psum"] == 2 * per_psum, (st.bytes_in, per_psum)
+
+    # hoisted rotation: same single reduction (decomposition is shared)
+    d_eval = jnp.zeros((dks.pad, M, p.n), dtype=jnp.uint32)
+    data = jnp.zeros((2, lvl + 1, p.n), dtype=jnp.uint32)
+    perm = jnp.asarray(p.galois_perm(p.rot_galois_elt(1)))
+    st_h = collective_stats(prog["hoisted_apply"], data, d_eval, perm, kb, ka)
+    assert st_h.counts == {"psum": 2}
+    assert st_h.bytes_in["psum"] == 2 * per_psum
+
+    # sharded NTT: exactly ONE all-to-all (the inter-phase transpose) in
+    # each direction
+    dn = DistNTT(p, mesh, axis="limb")
+    x = jnp.zeros((p.num_q, p.n), dtype=jnp.uint32)
+    st_f = collective_stats(dn.fwd, dn.pack(x))
+    st_i = collective_stats(dn.inv, dn.fwd(dn.pack(x)))
+    assert st_f.counts == {"all_to_all": 1}, st_f.counts
+    assert st_i.counts == {"all_to_all": 1}, st_i.counts
+
+    # reconcile with the PERF.md analytic model at prod_boot shapes:
+    # M=63, N=2^16 -> per-switch psum operand 2*2*63*65536*4 = 63 MB,
+    # ring wire bytes/chip = 2*(D-1)/D * operand
+    wire = allreduce_wire_bytes(2 * per_psum, D)
+    assert wire == pytest.approx(2 * per_psum * 2 * (D - 1) / D)
