@@ -33,6 +33,7 @@ Linear transforms come in two flavors:
 """
 from __future__ import annotations
 
+import functools
 import os
 import time
 from dataclasses import dataclass, field
@@ -434,7 +435,7 @@ class _ResidentCache:
 
     @property
     def pay_budget(self) -> int:
-        return int(float(os.environ.get("AESFHE_RESIDENT_PAYLOAD_MB", "400"))
+        return int(float(os.environ.get("AESFHE_RESIDENT_PAYLOAD_MB", "520"))
                    * 2 ** 20)
 
     def get(self, key):
@@ -581,39 +582,48 @@ def _apply_group(engine, ct: Ciphertext, plan: dict, tag: str,
                   round(np.angle(scalar) * 1e6),
                   round(np.log2(enc_scale) * 1e6))
 
-        def _host_payloads(ents, shift):
-            pays = []
-            for ent in ents:
-                key = (id(params), tag, ent["delta"], lvl, sc_key)
-                hit = _diag_cache.store.get(key)
-                if hit is None:
-                    hit = engine.encode_payload(
-                        np.roll(ent["u"] * scalar, shift), enc_scale)
-                    _diag_cache.store[key] = hit
-                pays.append(hit)
-            return pays
-
-        # PREFETCH: issue the uploads for every non-resident gamma-group
-        # BEFORE any compute, so group k+1's ~10 MB stack rides the relay
-        # behind group k's multiply-accumulate instead of stalling it
-        # (the relay pipelines ~40 async ops; a synchronous upload per
-        # group cost ~5 s of each warm prod_boot bootstrap, PERF.md r4)
-        prefetched: Dict[int, Any] = {}
-        if _diag_provider is None:
-            for gamma, ents in sorted(by_gamma.items()):
-                gkey = (id(params), tag, gamma, lvl, sc_key)
-                if _resident.get(gkey) is None:
-                    stackp = _resident.get_pay(gkey)
-                    if stackp is None:
-                        pays = _host_payloads(ents, g * B * gamma)
-                        stackp = jax.device_put(np.stack(pays))
-                        _resident.put_pay(gkey, stackp)
-                    prefetched[gamma] = stackp
     else:
         # non-hi cache key: content is roll(u * scalar) at scale Delta
         lvl = ct.level
+        enc_scale = engine.params.scale
         sc_key = (round(np.log2(abs(scalar)) * 1e6) if scalar != 0 else 0,
                   round(np.angle(scalar) * 1e6))
+
+    def _host_payloads(ents, shift):
+        pays = []
+        for ent in ents:
+            key = (id(params), tag, ent["delta"], lvl, sc_key)
+            hit = _diag_cache.store.get(key)
+            if hit is None:
+                hit = engine.encode_payload(
+                    np.roll(ent["u"] * scalar, shift), enc_scale)
+                _diag_cache.store[key] = hit
+            pays.append(hit)
+        return pays
+
+    # PREFETCH: issue the uploads for every non-resident gamma-group
+    # BEFORE any compute, so group k+1's ~10 MB stack rides the relay
+    # behind group k's multiply-accumulate instead of stalling it
+    # (the relay pipelines ~40 async ops; a synchronous upload per
+    # group cost ~5 s of each warm prod_boot bootstrap, PERF.md r4).
+    # With a recorder active, build the stacks for EVERY gamma: the fused
+    # programs take the RAW [K, 5, N] digit stacks as args (~12x smaller
+    # than materialized plaintexts -- the difference between fitting and
+    # RESOURCE_EXHAUSTED next to 7.5 GB of keys) and re-materialize
+    # inside the program.
+    prefetched: Dict[int, Any] = {}
+    if _diag_provider is None:
+        for gamma, ents in sorted(by_gamma.items()):
+            gkey = (id(params), tag, gamma, lvl, sc_key)
+            if _resident.get(gkey) is None or _diag_recorder is not None:
+                stackp = _resident.get_pay(gkey)
+                if stackp is None:
+                    pays = _host_payloads(ents, g * B * gamma)
+                    stackp = jax.device_put(np.stack(pays))
+                    _resident.put_pay(gkey, stackp)
+                prefetched[gamma] = stackp
+                if _diag_recorder is not None:
+                    _diag_recorder[(tag, gamma)] = stackp
     out = None
     for gamma, ents in sorted(by_gamma.items()):
         shift = g * B * gamma
@@ -624,46 +634,28 @@ def _apply_group(engine, ct: Ciphertext, plan: dict, tag: str,
         # prod_boot bootstrap spent ~half its wall in per-diagonal rescales
         # before this (PERF.md round-4 warm breakdown)
         b_cts = [baby_map[-g * ent["beta"]] for ent in ents]
-        if hi:
-            # hi diagonals: budget-capped DEVICE-resident materialized
-            # stacks (tier A), device-resident raw digit stacks (tier B),
-            # host payload streaming (tier C) -- see _ResidentCache.  The
-            # host payload cache is trace-safe by construction (numpy
-            # only); the resident tiers refuse tracers.
-            gkey = (id(params), tag, gamma, lvl, sc_key)
-            if _diag_provider is not None:
-                ptd = _diag_provider[(tag, gamma)]
-            else:
-                ptd = _resident.get(gkey)
-                if ptd is None:
-                    ptd = engine.materialize_payloads(prefetched[gamma], lvl)
-                    if _resident.put(gkey, ptd):
-                        # tier A holds the materialized stack; the raw
-                        # digit copy in tier B is now redundant
-                        _resident.drop_pay(gkey)
-                if _diag_recorder is not None:
-                    _diag_recorder[(tag, gamma)] = ptd
-            acc = engine.fused_ptd_sum(b_cts, ptd, enc_scale, rescales=2)
+        # diagonals: budget-capped DEVICE-resident materialized stacks
+        # (tier A), device-resident raw digit stacks (tier B), host
+        # payload streaming (tier C) -- see _ResidentCache.  Under a
+        # fused-bootstrap trace the provider serves the RAW digit stack
+        # and the digit-CRT+NTT materialization happens INSIDE the traced
+        # program (small extra compute, 12x less HBM than tier A).  The
+        # host payload cache is trace-safe by construction (numpy only);
+        # the resident tiers refuse tracers.
+        gkey = (id(params), tag, gamma, lvl, sc_key)
+        if _diag_provider is not None:
+            ptd = engine.materialize_payloads(_diag_provider[(tag, gamma)],
+                                              lvl)
         else:
-            # non-hi diagonals: device-encoded [K, lvl+1, N] stacks, also
-            # resident under the byte budget (the per-call c64 embedding
-            # of ~95 STC diagonals cost ~0.25 s of every warm bootstrap);
-            # on budget overflow fall back to the per-call encode
-            gkey = (id(params), tag, gamma, lvl, sc_key)
-            if _diag_provider is not None:
-                ptd = _diag_provider[(tag, gamma)]
-            else:
-                ptd = _resident.get(gkey)
-                if ptd is None:
-                    ptd = jnp.stack([
-                        engine.encode(np.roll(ent["u"] * scalar, shift),
-                                      level=lvl, device=True).data
-                        for ent in ents])
-                    _resident.put(gkey, ptd)
-                if _diag_recorder is not None:
-                    _diag_recorder[(tag, gamma)] = ptd
-            acc = engine.fused_ptd_sum(b_cts, ptd, engine.params.scale,
-                                       rescales=1)
+            ptd = _resident.get(gkey)
+            if ptd is None:
+                ptd = engine.materialize_payloads(prefetched[gamma], lvl)
+                if _resident.put(gkey, ptd) and _diag_recorder is None:
+                    # tier A holds the materialized stack; the raw digit
+                    # copy in tier B is only needed while recording
+                    _resident.drop_pay(gkey)
+        acc = engine.fused_ptd_sum(b_cts, ptd, enc_scale,
+                                   rescales=2 if hi else 1)
         # giant rotation as power-of-two hops: non-pow2 gammas have no
         # direct key (see _pow2_hops -- each dropped key is ~231 MB of HBM
         # at prod_boot); the hop chain costs one extra switch per composite
@@ -991,6 +983,74 @@ class _PhaseTimer:
         return "  ".join(f"{n}:{dt:.2f}s" for n, dt, _ in cls.records)
 
 
+def _boot_front(engine, ct: Ciphertext, raised: Ciphertext, conj_key,
+                bk: BootstrapKey, pt=None) -> tuple:
+    """Factored-path front half: prescale + CoeffToSlot + conjugation
+    half-split.  `ct` supplies the ORIGINAL input scale (for
+    eval_mod_scales); `raised` is its ModRaise.  Returns (ct_a, ct_b),
+    the two real coefficient-half ciphertexts EvalMod consumes."""
+    params = engine.params
+    q0 = int(params.q_primes[0])
+    a_scale, _, _ = eval_mod_scales(bk, q0, ct.scale)
+    hi = bk.hi_prec and bk.factored
+    f = bk.prescale
+    if not hi:
+        raised = engine.multiply(raised, a_scale * f)
+    plans = bk.cts_plan
+    if hi:
+        # a_scale rides the FIRST group's diagonals and the group's
+        # exact-scale encode lifts Delta -> hi_scale: the dedicated
+        # pre-normalization multiply costs zero levels
+        yp = _apply_group(engine, raised, plans[0], "fcts0lift",
+                          bk, scalar=a_scale * f, hi=True)
+        if pt:
+            pt.mark("cts0", yp)
+        for i, plan in enumerate(plans[1:-1], 1):
+            yp = _apply_group(engine, yp, plan, f"fcts{i}", bk, hi=True)
+            if pt:
+                pt.mark(f"cts{i}", yp)
+    else:
+        yp = _apply_chain(engine, raised, plans[:-1], "fcts", bk)
+    last = plans[-1]
+    y_a = _apply_group(engine, yp, last, f"fctsA{f:g}", bk,
+                       scalar=1.0 / f, hi=hi)
+    if pt:
+        pt.mark("ctsLast", y_a)
+    # y_b = (-i*G) x = -i * (G x): one EXACT zeta4 scalar multiply
+    # (multiply_i: no level, no noise) replaces a second full group
+    # evaluation -- and its ~63 cached dense diagonal plaintexts, which
+    # at N=2^16 cost ~850 MB of HBM
+    y_b = engine.negate(engine.multiply_i(y_a))
+    ct_a = engine.add(y_a, engine.conjugate(y_a, conj_key))
+    ct_b = engine.add(y_b, engine.conjugate(y_b, conj_key))
+    if pt:
+        pt.mark("conj_split", ct_b)
+    return ct_a, ct_b
+
+
+def _boot_back(engine, m_a: Ciphertext, m_b: Ciphertext, bk: BootstrapKey,
+               in_scale: float, pt=None) -> Ciphertext:
+    """Factored-path back half: half-recombine + SlotToCoeff."""
+    params = engine.params
+    q0 = int(params.q_primes[0])
+    hi = bk.hi_prec and bk.factored
+    if hi:
+        v = engine.add(m_a, engine.multiply_i(m_b))
+        fm = q0 / (2 * np.pi * in_scale)
+        sp = bk.stc_plan
+        # fm and the hi -> Delta paired drop fold into STC group 0
+        v = _apply_group(engine, v, sp[0], "fstc0drop", bk,
+                         scalar=fm, hi=True, out_scale=params.scale)
+        if pt:
+            pt.mark("stc0", v)
+        out = _apply_chain(engine, v, sp[1:], "fstc1on", bk)
+        if pt:
+            pt.mark("stc_rest", out)
+        return out
+    v = engine.add(m_a, m_b)
+    return _apply_chain(engine, v, bk.stc_plan, "fstc", bk)
+
+
 class FusedBootstrap:
     """The whole bootstrap as ONE jitted XLA program.
 
@@ -1017,66 +1077,148 @@ class FusedBootstrap:
 
     def __init__(self, engine, relin_key, conj_key, bk: BootstrapKey,
                  sample_ct: Ciphertext):
+        if not bk.factored:
+            raise NotImplementedError("FusedBootstrap needs the factored "
+                                      "transform path")
         global _diag_recorder
+        params = engine.params
+        q0 = int(params.q_primes[0])
         rec: Dict[Any, Any] = {}
         _diag_recorder = rec
         try:
-            ref_out = bootstrap(engine, sample_ct, relin_key, conj_key, bk)
+            # eager capture, phase by phase, recording the boundary
+            # (level, scale) signatures and every diagonal stack
+            engine._count("bootstrap")
+            raised = _mod_raise(engine, sample_ct)
+            ct_a, ct_b = _boot_front(engine, sample_ct, raised, conj_key, bk)
+            m_a = _eval_mod(engine, ct_a, bk, relin_key, q0, sample_ct.scale)
+            m_b = _eval_mod(engine, ct_b, bk, relin_key, q0, sample_ct.scale,
+                            final_mult=1j)
+            ref_out = _boot_back(engine, m_a, m_b, bk, sample_ct.scale)
         finally:
             _diag_recorder = None
+        # release the capture run's materialized tier-A stacks (~2.5 GB at
+        # prod_boot): the fused programs re-materialize from the recorded
+        # RAW digit stacks (held by this instance), and that HBM is the
+        # difference between running and RESOURCE_EXHAUSTED next to the
+        # key set on an executable-accumulated backend
+        _resident.clear()
         self.engine = engine
         self.in_level = sample_ct.level
         self.in_scale = float(sample_ct.scale)
         self.out_scale = float(ref_out.scale)
         self.ref_out = ref_out          # capture run's result (reusable)
-        self.diag_keys = sorted(rec.keys())
-        self.diag_arrays = [rec[k] for k in self.diag_keys]
         self.rot_elts = sorted(bk.rot.keys.keys())
         rot_caps = {g: getattr(bk.rot.keys[g], "cap", None)
                     for g in self.rot_elts}
         self.relin_key = relin_key
         self.conj_key = conj_key
         self.bk = bk
+        hi = bk.hi_prec and bk.factored
+        # front diagonals (fcts*) vs back (fstc*); served back in key order
+        self.front_keys = sorted(k for k in rec if k[0].startswith("fcts"))
+        self.back_keys = sorted(k for k in rec if k[0].startswith("fstc"))
+        self.front_diags = [rec[k] for k in self.front_keys]
+        self.back_diags = [rec[k] for k in self.back_keys]
         in_scale = self.in_scale
-        diag_keys = self.diag_keys
         rot_elts = self.rot_elts
+        a_scale_c, a_lvl = float(ct_a.scale), ct_a.level
+        b_scale_c = float(ct_b.scale)
+        ma_scale, ma_lvl = float(m_a.scale), m_a.level
+        mb_scale = float(m_b.scale)
 
-        def fn(data, rlk_ba, conj_ba, rot_flat, diags):
-            global _diag_provider
-            import dataclasses
-            rlk = SwitchKey(b=rlk_ba[0], a=rlk_ba[1],
-                            cap=getattr(relin_key, "cap", None))
-            cj = SwitchKey(b=conj_ba[0], a=conj_ba[1],
-                           cap=getattr(conj_key, "cap", None))
-            rot = GaloisKeySet(keys={
+        # Each phase is its own jitted program: the WHOLE bootstrap as one
+        # program SIGKILLs the backend's tpu_compile_helper at prod_boot
+        # size (measured r5); three programs (front / EvalMod / back)
+        # keep per-compile size bounded at 3-4 launches per bootstrap.
+        # `tabs` (NTT twiddles + MXU matrices, ~430 MB) and every
+        # key/diagonal are traced ARGS: as captured constants they ship
+        # inside the remote_compile request body (HTTP 413).
+
+        def _rotset(rot_flat):
+            return GaloisKeySet(keys={
                 g: SwitchKey(b=rb, a=ra, cap=rot_caps[g])
                 for g, (rb, ra) in zip(rot_elts, rot_flat)})
-            bk2 = dataclasses.replace(bk, rot=rot)
-            _diag_provider = dict(zip(diag_keys, diags))
+
+        def front_fn(data, tabs, conj_ba, rot_flat, diags):
+            global _diag_provider
+            import dataclasses
+            cj = SwitchKey(b=conj_ba[0], a=conj_ba[1],
+                           cap=getattr(conj_key, "cap", None))
+            bk2 = dataclasses.replace(bk, rot=_rotset(rot_flat))
+            _diag_provider = dict(zip(self.front_keys, diags))
+            old_tabs = engine.tabs
+            engine.tabs = tabs
             try:
-                out = bootstrap(engine, Ciphertext(data, in_scale),
-                                rlk, cj, bk2)
+                ct_in = Ciphertext(data, in_scale)
+                a, b = _boot_front(engine, ct_in, _mod_raise(engine, ct_in),
+                                   cj, bk2)
             finally:
+                engine.tabs = old_tabs
+                _diag_provider = None
+            return a.data, b.data
+
+        def mid_fn(data, tabs, rlk_ba, scale=a_scale_c, fm=1.0):
+            rlk = SwitchKey(b=rlk_ba[0], a=rlk_ba[1],
+                            cap=getattr(relin_key, "cap", None))
+            old_tabs = engine.tabs
+            engine.tabs = tabs
+            try:
+                m = _eval_mod(engine, Ciphertext(data, scale), bk, rlk,
+                              q0, in_scale, final_mult=fm)
+            finally:
+                engine.tabs = old_tabs
+            return m.data
+
+        def back_fn(ma, mb, tabs, rot_flat, diags):
+            global _diag_provider
+            import dataclasses
+            bk2 = dataclasses.replace(bk, rot=_rotset(rot_flat))
+            _diag_provider = dict(zip(self.back_keys, diags))
+            old_tabs = engine.tabs
+            engine.tabs = tabs
+            try:
+                out = _boot_back(engine, Ciphertext(ma, ma_scale),
+                                 Ciphertext(mb, mb_scale), bk2, in_scale)
+            finally:
+                engine.tabs = old_tabs
                 _diag_provider = None
             return out.data
 
-        self._fn = jax.jit(fn)
+        self._front = jax.jit(front_fn)
+        self._back = jax.jit(back_fn)
+        if hi:
+            # hi EvalMod returns the raw sin (final_mult ignored) and both
+            # halves share (level, scale): ONE compiled program serves both
+            self._mid_a = self._mid_b = jax.jit(functools.partial(
+                mid_fn, scale=a_scale_c, fm=1.0))
+        else:
+            self._mid_a = jax.jit(functools.partial(
+                mid_fn, scale=a_scale_c, fm=1.0))
+            self._mid_b = jax.jit(functools.partial(
+                mid_fn, scale=b_scale_c, fm=1j))
 
     def __call__(self, ct: Ciphertext) -> Ciphertext:
         if ct.level != self.in_level:
             raise ValueError(
                 f"fused bootstrap compiled for input level {self.in_level}, "
                 f"got {ct.level}")
-        if abs(ct.scale - self.in_scale) / self.in_scale > 1e-9:
+        # same tolerance as the engine's scale-equality checks: inputs
+        # within _SCALE_ACCEPT share the program (and its tracked scales)
+        if abs(ct.scale - self.in_scale) / self.in_scale > 1e-7:
             raise ValueError(
                 f"fused bootstrap compiled for input scale {self.in_scale}, "
                 f"got {ct.scale}")
+        tabs = self.engine.tabs
         rot_flat = [(self.bk.rot.keys[g].b, self.bk.rot.keys[g].a)
                     for g in self.rot_elts]
-        data = self._fn(ct.data,
-                        (self.relin_key.b, self.relin_key.a),
-                        (self.conj_key.b, self.conj_key.a),
-                        rot_flat, self.diag_arrays)
+        rlk_ba = (self.relin_key.b, self.relin_key.a)
+        a, b = self._front(ct.data, tabs,
+                           (self.conj_key.b, self.conj_key.a),
+                           rot_flat, self.front_diags)
+        ma = self._mid_a(a, tabs, rlk_ba)
+        mb = self._mid_b(b, tabs, rlk_ba)
+        data = self._back(ma, mb, tabs, rot_flat, self.back_diags)
         return Ciphertext(data, self.out_scale)
 
 
@@ -1096,43 +1238,9 @@ def bootstrap(engine, ct: Ciphertext, relin_key, conj_key,
 
     raised = _mod_raise(engine, ct)
     pt.mark("mod_raise", raised)
-    # pre-normalize so CoeffToSlot operates on O(1) values (see
-    # eval_mod_scales); the factored path over-scales by `prescale` to keep
-    # the rotation key-switch noise small relative to the signal, folding
-    # the 1/prescale back into the last group's diagonals for free
-    a_scale, _, _ = eval_mod_scales(bootstrap_key, q0, ct.scale)
-    hi = bootstrap_key.hi_prec and bootstrap_key.factored
-    f = bootstrap_key.prescale if bootstrap_key.factored else 1.0
-    if not hi:
-        raised = engine.multiply(raised, a_scale * f)
     if bootstrap_key.factored:
-        plans = bootstrap_key.cts_plan
-        if hi:
-            # a_scale rides the FIRST group's diagonals and the group's
-            # exact-scale encode lifts Delta -> hi_scale: the dedicated
-            # pre-normalization multiply costs zero levels
-            yp = _apply_group(engine, raised, plans[0], "fcts0lift",
-                              bootstrap_key, scalar=a_scale * f, hi=True)
-            pt.mark("cts0", yp)
-            for i, plan in enumerate(plans[1:-1], 1):
-                yp = _apply_group(engine, yp, plan, f"fcts{i}",
-                                  bootstrap_key, hi=True)
-                pt.mark(f"cts{i}", yp)
-        else:
-            yp = _apply_chain(engine, raised, plans[:-1], "fcts",
-                              bootstrap_key)
-        last = plans[-1]
-        y_a = _apply_group(engine, yp, last, f"fctsA{f:g}", bootstrap_key,
-                           scalar=1.0 / f, hi=hi)
-        pt.mark("ctsLast", y_a)
-        # y_b = (-i*G) x = -i * (G x): one EXACT zeta4 scalar multiply
-        # (multiply_i: no level, no noise) replaces a second full group
-        # evaluation -- and its ~63 cached dense diagonal plaintexts, which
-        # at N=2^16 cost ~850 MB of HBM
-        y_b = engine.negate(engine.multiply_i(y_a))
-        ct_a = engine.add(y_a, engine.conjugate(y_a, conj_key))
-        ct_b = engine.add(y_b, engine.conjugate(y_b, conj_key))
-        pt.mark("conj_split", ct_b)
+        ct_a, ct_b = _boot_front(engine, ct, raised, conj_key,
+                                 bootstrap_key, pt)
         m_a = _eval_mod(engine, ct_a, bootstrap_key, relin_key, q0, ct.scale)
         pt.mark("evalmod_a", m_a)
         # fold the *i of the half-recombine into EvalMod's final constant
@@ -1140,25 +1248,12 @@ def bootstrap(engine, ct: Ciphertext, relin_key, conj_key,
         m_b = _eval_mod(engine, ct_b, bootstrap_key, relin_key, q0, ct.scale,
                         final_mult=1j)
         pt.mark("evalmod_b", m_b)
-        if hi:
-            v = engine.add(m_a, engine.multiply_i(m_b))
-            fm = q0 / (2 * np.pi * ct.scale)
-            sp = bootstrap_key.stc_plan
-            # fm and the hi -> Delta paired drop fold into STC group 0
-            v = _apply_group(engine, v, sp[0], "fstc0drop", bootstrap_key,
-                             scalar=fm, hi=True,
-                             out_scale=engine.params.scale)
-            pt.mark("stc0", v)
-            out = _apply_chain(engine, v, sp[1:], "fstc1on", bootstrap_key)
-            pt.mark("stc_rest", out)
-            pt.publish()
-            return out
-        v = engine.add(m_a, m_b)
-        out = _apply_chain(engine, v, bootstrap_key.stc_plan, "fstc",
-                           bootstrap_key)
+        out = _boot_back(engine, m_a, m_b, bootstrap_key, ct.scale, pt)
         pt.publish()
         return out
     # dense fallback: two maps per direction over closed-form diagonals
+    a_scale, _, _ = eval_mod_scales(bootstrap_key, q0, ct.scale)
+    raised = engine.multiply(raised, a_scale)
     f_a, f_b = _cts_diag(params, half)
     w_a = _apply_linear_map(engine, raised, f_a, "cts_a", bootstrap_key)
     w_b = _apply_linear_map(engine, raised, f_b, "cts_b", bootstrap_key)

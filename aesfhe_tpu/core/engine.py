@@ -31,6 +31,8 @@ import jax
 import jax.numpy as jnp
 
 from . import rns, ntt, encoding, dev_encoding, ops_impl, keys as keys_mod
+from jax._src import core as _jcore
+
 from .params import CKKSParams, get_params
 from .ciphertext import Ciphertext, Plaintext, ScalarPlaintext
 from .keys import (SecretKey, PublicKey, SwitchKey, GaloisKeySet,
@@ -217,7 +219,13 @@ class Engine:
         # arrays, rebuilt thousands of times per round otherwise
         self._consts_cache: dict = {}
 
-    def _perm_dev(self, g: int) -> jnp.ndarray:
+    def _perm_dev(self, g: int):
+        # under an active trace (the fused-bootstrap programs), serve the
+        # HOST array: a cached device array would embed as an MLIR constant
+        # via a device->host fetch -- ~29 ms per fetch through the relay,
+        # and outright RESOURCE_EXHAUSTED on a memory-pressured chip
+        if not _jcore.trace_state_clean():
+            return self.params.galois_perm(g)
         p = self._perm_cache.get(g)
         if p is None:
             p = jnp.asarray(self.params.galois_perm(g))
@@ -447,7 +455,8 @@ class Engine:
         cleanse coefficients) every round, and the Python per-limb table
         loop below is pure host time on the round's critical path."""
         ck = (complex(value), float(scale), level, mont)
-        hit = self._consts_cache.get(ck)
+        tracing = not _jcore.trace_state_clean()
+        hit = None if tracing else self._consts_cache.get(ck)
         if hit is not None:
             return hit
         params = self.params
@@ -467,6 +476,8 @@ class Engine:
                 out[i, 1] = rns.shoup_precompute(re_q, q)
                 out[i, 2] = imz_q
                 out[i, 3] = rns.shoup_precompute(imz_q, q)
+        if tracing:
+            return out                 # host constant; see _perm_dev
         dev = jnp.asarray(out)
         if not isinstance(dev, jax.core.Tracer):   # see Engine._perm_dev
             self._consts_cache[ck] = dev
@@ -818,7 +829,8 @@ class Engine:
         scale): circuits rebuild the same trivial constants every call."""
         if np.isscalar(val):
             ck = (complex(val), level, scale)
-            hit = self._trivial_cache.pop(ck, None)
+            hit = (None if not _jcore.trace_state_clean()
+                   else self._trivial_cache.pop(ck, None))
             if hit is not None:
                 self._trivial_cache[ck] = hit     # refresh LRU recency
                 return hit
@@ -1030,7 +1042,7 @@ class Engine:
         stack via ONE batched digit-CRT+NTT program.  The result is what
         fused_ptd_sum consumes; callers may cache it device-side (the
         bootstrap's budget-capped resident-diagonal cache)."""
-        if not isinstance(payloads, (jnp.ndarray, jax.Array)):
+        if isinstance(payloads, (list, tuple)):
             payloads = jnp.asarray(np.stack(payloads))
         return _digits_batch_core(self.params, self.tabs, payloads, level)
 

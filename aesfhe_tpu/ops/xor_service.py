@@ -167,7 +167,7 @@ class EngineWrapper:
         # residues, so dropping first makes ONE compiled program serve
         # every input level (round outputs land at level 1 or 2)
         ct = self.engine._drop(ct, 0)
-        key = round(float(np.log2(ct.scale)) * 1e9)
+        key = round(float(np.log2(ct.scale)) * 1e4)   # ~1e-5 rel. buckets
         inst = self._fused_boot.get(key)
         if inst is None:
             inst = FusedBootstrap(self.engine, self.relin_key, self.conj_key,

@@ -96,6 +96,10 @@ def main():
                os.environ.get("AESFHE_FLAGSHIP_PROFILE", "prod_boot"))
     rounds = int(os.environ.get("AESFHE_FLAGSHIP_ROUNDS", "10"))
     os.environ.setdefault("AESFHE_KEY_CACHE", "/root/.cache/aesfhe_keys")
+    # fused whole-bootstrap program: ~1300 relay launches -> 1 per refresh
+    # ciphertext (bootstrap.FusedBootstrap); one capture + compile in the
+    # warmup, persistent-cached across runs
+    os.environ.setdefault("AESFHE_FUSED_BOOT", "1")
     keys_mod.seed_keygen(0)
 
     t(f"profile={profile} rounds={rounds} "
@@ -237,6 +241,7 @@ def main():
     from aesfhe_tpu import bootstrap as _bs
     _bs._diag_cache.store.clear()
     _bs._resident.clear()
+    wrap._fused_boot = None
     wrap.boot_key = None
     wrap.ctx.bootstrap_key = None
     wrap.ctx.small_bootstrap_key = None
