@@ -93,9 +93,16 @@ class EngineContext:
             generate_bootstrap_keys = use_bootstrap
         if generate_bootstrap_keys:
             # the two flavors share one Galois key set (same rotation steps;
-            # see bootstrap.create_bootstrap_key)
-            self.bootstrap_key = self.engine.create_bootstrap_key(
-                self.secret_key)
+            # see bootstrap.create_bootstrap_key).  The bootstrap Galois set
+            # rides the same opt-in disk cache as the base family (size-
+            # capped: full-ring production sets regenerate on device)
+            if cache_dir:
+                from .utils.serialization import cached_bootstrap_key
+                self.bootstrap_key = cached_bootstrap_key(
+                    self.engine, self.secret_key, cache_dir)
+            else:
+                self.bootstrap_key = self.engine.create_bootstrap_key(
+                    self.secret_key)
             self.small_bootstrap_key = self.engine.create_small_bootstrap_key(
                 self.secret_key, rot=self.bootstrap_key.rot)
         else:

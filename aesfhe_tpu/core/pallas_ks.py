@@ -36,8 +36,12 @@ LANES = 128
 
 
 def _kernel(q_ref, qinv_ref, d_ref, kb_ref, ka_ref, out_ref):
-    q = q_ref[0]
-    qinv = qinv_ref[0]
+    # q/qinv ride SMEM as the FULL [M] tables (Mosaic rejects rank-1 blocks
+    # smaller than the array off the 128-lane tiling); select this grid
+    # row's scalars by program_id
+    m = pl.program_id(0)
+    q = q_ref[m]
+    qinv = qinv_ref[m]
     J = d_ref.shape[0]
     acc_b = acc_a = None
     for j in range(J):                      # static unroll over digits
@@ -69,7 +73,7 @@ def ks_inner_pallas(d_eval, key_b, key_a, q_arr, qinv_arr):
 
     in_spec = pl.BlockSpec((J, 1, SUB, LANES), tile_map,
                            memory_space=pltpu.VMEM)
-    scal = pl.BlockSpec((1,), lambda m, r: (m,), memory_space=pltpu.SMEM)
+    scal = pl.BlockSpec((M,), lambda m, r: (0,), memory_space=pltpu.SMEM)
     out = pl.pallas_call(
         _kernel,
         grid=(M, R // SUB),

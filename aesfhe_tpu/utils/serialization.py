@@ -50,10 +50,13 @@ def save_keys(path: Path, *, secret: SecretKey | None = None,
         arrays["conj_b"] = np.asarray(conj.b)
         arrays["conj_a"] = np.asarray(conj.a)
     if rotation is not None:
+        meta["caps"] = {}
         for g, k in rotation.keys.items():
             arrays[f"rot_{g}_b"] = np.asarray(k.b)
             arrays[f"rot_{g}_a"] = np.asarray(k.a)
             meta["galois_elts"].append(g)
+            if k.cap is not None:
+                meta["caps"][str(g)] = int(k.cap)
     arrays["_meta"] = np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8)
     np.savez_compressed(path, **arrays)
 
@@ -157,7 +160,50 @@ def load_keys(path: Path) -> dict:
                                 jnp.asarray(z["conj_a"]))
     elts = meta.get("galois_elts", [])
     if elts:
+        caps = meta.get("caps", {})
         out["rotation"] = GaloisKeySet(keys={
             g: SwitchKey(jnp.asarray(z[f"rot_{g}_b"]),
-                         jnp.asarray(z[f"rot_{g}_a"])) for g in elts})
+                         jnp.asarray(z[f"rot_{g}_a"]),
+                         cap=caps.get(str(g))) for g in elts})
     return out
+
+
+def cached_bootstrap_key(engine, sk, cache_dir, *, small: bool = False,
+                         factored: bool | None = None,
+                         hi_prec: bool | None = None):
+    """create_bootstrap_key with its Galois key set cached on disk.
+
+    The plans/flavor config are cheap host numpy; the cost is
+    gen_rotation_keys over the factored plans' step set (~40 switch keys of
+    per-level NTT work), which this round-trips through save_keys/load_keys.
+    The fingerprint binds the cache entry to the full parameter set, the
+    flavor knobs, AND the secret key's coefficient vector -- a rotation key
+    for a different secret would decrypt to garbage, not fail loudly.
+    Size-capped like cached_key_family (AESFHE_KEY_CACHE_MAX_MB): full-ring
+    production sets are multi-GB of incompressible randomness where device
+    keygen beats the disk round-trip."""
+    import hashlib
+    import os
+    from .. import bootstrap as bs
+    cache_dir = Path(cache_dir)
+    cache_dir.mkdir(parents=True, exist_ok=True)
+    h = hashlib.sha256((params_fingerprint(engine.params) +
+                        f"|boot|{small}|{factored}|{hi_prec}").encode())
+    h.update(np.ascontiguousarray(sk.s_coeff).tobytes())
+    path = cache_dir / f"bootrot_{h.hexdigest()[:16]}.npz"
+    rot = None
+    if path.exists():
+        try:
+            rot = load_keys(path).get("rotation")
+        except Exception:
+            path.unlink(missing_ok=True)
+    had_cache = rot is not None
+    bk = bs.create_bootstrap_key(engine, sk, small=small, factored=factored,
+                                 rot=rot, hi_prec=hi_prec)
+    if not had_cache and bk.rot is not None and bk.rot.keys:
+        cap_mb = float(os.environ.get("AESFHE_KEY_CACHE_MAX_MB", "1024"))
+        if bs.rotation_keys_mb(bk.rot) <= cap_mb:
+            tmp = path.with_suffix(".tmp.npz")
+            save_keys(tmp, rotation=bk.rot)
+            tmp.replace(path)
+    return bk

@@ -15,14 +15,24 @@ from aesfhe_tpu.ops.zeta import ZetaEncoder
 
 @pytest.fixture(scope="module")
 def boot():
+    import os
     eng = Engine(CKKSParams(n=1 << 9, max_level=34, scale_bits=27,
                             first_prime_bits=30, num_special_primes=4,
                             secret_hamming=16), use_bootstrap=True)
-    sk = eng.create_secret_key()
-    pk = eng.create_public_key(sk)
-    rlk = eng.create_relinearization_key(sk)
-    conj = eng.create_conjugation_key(sk)
-    bk = eng.create_bootstrap_key(sk)
+    cache = os.environ.get("AESFHE_KEY_CACHE")
+    if cache:
+        from aesfhe_tpu.utils.serialization import (cached_key_family,
+                                                    cached_bootstrap_key)
+        fam = cached_key_family(eng, cache, rotation_steps=())
+        sk = fam["secret"]
+        pk, rlk, conj = fam["public"], fam["relin"], fam["conj"]
+        bk = cached_bootstrap_key(eng, sk, cache)
+    else:
+        sk = eng.create_secret_key()
+        pk = eng.create_public_key(sk)
+        rlk = eng.create_relinearization_key(sk)
+        conj = eng.create_conjugation_key(sk)
+        bk = eng.create_bootstrap_key(sk)
     return dict(eng=eng, sk=sk, pk=pk, rlk=rlk, conj=conj, bk=bk)
 
 

@@ -2,6 +2,8 @@
 oracle (partial rounds until bootstrap lands; the reference never reaches
 this point at all -- its round driver stops at AddRoundKey,
 /root/reference/new.py:186-227)."""
+import os
+
 import numpy as np
 import pytest
 
@@ -115,19 +117,34 @@ def prod_shaped_cipher():
     params = CKKSParams(n=1 << 10, max_level=54, scale_bits=27,
                         num_special_primes=8, secret_hamming=192)
     eng = Engine(params, use_bootstrap=True)
-    sk = eng.create_secret_key()
+    cache = os.environ.get("AESFHE_KEY_CACHE")
+    if cache:
+        from aesfhe_tpu.utils.serialization import (cached_key_family,
+                                                    cached_bootstrap_key)
+        fam = cached_key_family(eng, cache)
+        sk = fam["secret"]
+        _pk, _rlk, _conj, _rot = (fam["public"], fam["relin"], fam["conj"],
+                                  fam["rotation"])
+        _bk = cached_bootstrap_key(eng, sk, cache, hi_prec=True)
+    else:
+        sk = eng.create_secret_key()
+        _pk = eng.create_public_key(sk)
+        _rlk = eng.create_relinearization_key(sk)
+        _conj = eng.create_conjugation_key(sk)
+        _rot = eng.create_rotation_key(sk)
+        _bk = bs.create_bootstrap_key(eng, sk, hi_prec=True)
 
     class _Shim:
         engine = eng
         secret_key = sk
-        public_key = eng.create_public_key(sk)
-        relinearization_key = eng.create_relinearization_key(sk)
-        conjugation_key = eng.create_conjugation_key(sk)
-        rotation_key = eng.create_rotation_key(sk)
+        public_key = _pk
+        relinearization_key = _rlk
+        conjugation_key = _conj
+        rotation_key = _rot
         # hi_prec forced: the n>=4096 heuristic would pick the single-prime
         # path on this small ring, but the chain is prod-shaped (ADVICE r3:
         # the override exists exactly for this)
-        bootstrap_key = bs.create_bootstrap_key(eng, sk, hi_prec=True)
+        bootstrap_key = _bk
         small_bootstrap_key = None
 
     wrap = EngineWrapper(ctx=_Shim())
