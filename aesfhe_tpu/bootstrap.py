@@ -42,6 +42,7 @@ from typing import Any, Dict, List
 import numpy as np
 import jax
 import jax.numpy as jnp
+from jax._src.core import trace_state_clean as _core_trace_clean
 
 from .core.ciphertext import Ciphertext
 from .core import rns, ops_impl
@@ -619,7 +620,14 @@ def _apply_group(engine, ct: Ciphertext, plan: dict, tag: str,
                 stackp = _resident.get_pay(gkey)
                 if stackp is None:
                     pays = _host_payloads(ents, g * B * gamma)
-                    stackp = jax.device_put(np.stack(pays))
+                    stackp = np.stack(pays)
+                    if _core_trace_clean():
+                        # device_put under an ACTIVE trace is a traced
+                        # primitive -- it would hand the recorder a tracer
+                        # (the abstract eval_shape capture hits this); keep
+                        # the stack as host numpy there and let the fused
+                        # program's arg transfer upload it once
+                        stackp = jax.device_put(stackp)
                     _resident.put_pay(gkey, stackp)
                 prefetched[gamma] = stackp
                 if _diag_recorder is not None:
@@ -1084,30 +1092,48 @@ class FusedBootstrap:
         params = engine.params
         q0 = int(params.q_primes[0])
         rec: Dict[Any, Any] = {}
+        # ABSTRACT capture under jax.eval_shape: no FLOPs, no device
+        # memory, no executables.  The first fused-boot build originally
+        # ran the bootstrap EAGERLY to record diagonals -- ~1300 per-op
+        # programs compiled AND up to ~2.6 GB of tier-A stacks churned
+        # through a device already holding 8.9 GB of keys, which is what
+        # tipped the r5 flagship warmup into RESOURCE_EXHAUSTED (the
+        # backend accumulates executables; PERF.md frontier note).  The
+        # diagonal payloads are HOST numpy by construction (fad6204), so
+        # an abstract trace still records them concretely -- same
+        # mechanism as _probe_rotation_levels' key-level ledger; only the
+        # raw [K, 5, N] digit stacks (~0.4 GB) are device_put, and those
+        # are exactly the arrays the fused programs need as args anyway.
+        meta: Dict[str, Any] = {}
         _diag_recorder = rec
         try:
-            # eager capture, phase by phase, recording the boundary
-            # (level, scale) signatures and every diagonal stack
             engine._count("bootstrap")
-            raised = _mod_raise(engine, sample_ct)
-            ct_a, ct_b = _boot_front(engine, sample_ct, raised, conj_key, bk)
-            m_a = _eval_mod(engine, ct_a, bk, relin_key, q0, sample_ct.scale)
-            m_b = _eval_mod(engine, ct_b, bk, relin_key, q0, sample_ct.scale,
-                            final_mult=1j)
-            ref_out = _boot_back(engine, m_a, m_b, bk, sample_ct.scale)
+
+            def _capture(data):
+                ct_in = Ciphertext(data, float(sample_ct.scale))
+                raised = _mod_raise(engine, ct_in)
+                a, b = _boot_front(engine, ct_in, raised, conj_key, bk)
+                ma = _eval_mod(engine, a, bk, relin_key, q0, ct_in.scale)
+                mb = _eval_mod(engine, b, bk, relin_key, q0, ct_in.scale,
+                               final_mult=1j)
+                out = _boot_back(engine, ma, mb, bk, ct_in.scale)
+                meta.update(a=(a.level, float(a.scale)),
+                            b_scale=float(b.scale),
+                            ma=(ma.level, float(ma.scale)),
+                            mb_scale=float(mb.scale),
+                            out_scale=float(out.scale))
+                return out.data
+
+            jax.eval_shape(_capture,
+                           jax.ShapeDtypeStruct(sample_ct.data.shape,
+                                                sample_ct.data.dtype))
         finally:
             _diag_recorder = None
-        # release the capture run's materialized tier-A stacks (~2.5 GB at
-        # prod_boot): the fused programs re-materialize from the recorded
-        # RAW digit stacks (held by this instance), and that HBM is the
-        # difference between running and RESOURCE_EXHAUSTED next to the
-        # key set on an executable-accumulated backend
-        _resident.clear()
         self.engine = engine
         self.in_level = sample_ct.level
         self.in_scale = float(sample_ct.scale)
-        self.out_scale = float(ref_out.scale)
-        self.ref_out = ref_out          # capture run's result (reusable)
+        self.out_scale = meta["out_scale"]
+        self.ref_out = None             # abstract capture: no eager result
         self.rot_elts = sorted(bk.rot.keys.keys())
         rot_caps = {g: getattr(bk.rot.keys[g], "cap", None)
                     for g in self.rot_elts}
@@ -1118,14 +1144,16 @@ class FusedBootstrap:
         # front diagonals (fcts*) vs back (fstc*); served back in key order
         self.front_keys = sorted(k for k in rec if k[0].startswith("fcts"))
         self.back_keys = sorted(k for k in rec if k[0].startswith("fstc"))
-        self.front_diags = [rec[k] for k in self.front_keys]
-        self.back_diags = [rec[k] for k in self.back_keys]
+        # the abstract capture records HOST stacks; upload each ONCE here
+        # (outside any trace) so per-call dispatch passes device residents
+        self.front_diags = [jax.device_put(rec[k]) for k in self.front_keys]
+        self.back_diags = [jax.device_put(rec[k]) for k in self.back_keys]
         in_scale = self.in_scale
         rot_elts = self.rot_elts
-        a_scale_c, a_lvl = float(ct_a.scale), ct_a.level
-        b_scale_c = float(ct_b.scale)
-        ma_scale, ma_lvl = float(m_a.scale), m_a.level
-        mb_scale = float(m_b.scale)
+        a_lvl, a_scale_c = meta["a"]
+        b_scale_c = meta["b_scale"]
+        ma_lvl, ma_scale = meta["ma"]
+        mb_scale = meta["mb_scale"]
 
         # Each phase is its own jitted program: the WHOLE bootstrap as one
         # program SIGKILLs the backend's tpu_compile_helper at prod_boot

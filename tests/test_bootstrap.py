@@ -179,8 +179,11 @@ def test_fused_bootstrap_bit_exact(boot):
     fused = bs.FusedBootstrap(eng, rlk, conj, bk, low)
     out = fused(low)
     jax.block_until_ready(out.data)
-    assert np.array_equal(np.asarray(out.data), np.asarray(fused.ref_out.data))
-    assert out.scale == fused.ref_out.scale
+    # bit-identical to the EAGER per-op path (the capture itself is now
+    # abstract -- jax.eval_shape -- so the oracle is a real eager run)
+    want = bs.bootstrap(eng, low, rlk, conj, bk)
+    assert np.array_equal(np.asarray(out.data), np.asarray(want.data))
+    assert out.scale == want.scale
     # decodes correctly and to the same values as the eager result
     err = np.max(np.abs(eng.decrypt(out, sk) - z))
     assert err < 0.1
