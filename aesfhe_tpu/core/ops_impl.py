@@ -12,6 +12,7 @@ domain; `tabs` is a DeviceTables pytree of device-resident constant tables.
 from __future__ import annotations
 
 import functools
+import os
 from dataclasses import dataclass
 from typing import Any
 
@@ -19,7 +20,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from . import rns, ntt, mxu_ntt
+from . import rns, ntt, mxu_ntt, pallas_ks
 from .params import CKKSParams
 
 
@@ -539,15 +540,58 @@ def ks_decompose(params: CKKSParams, tabs: DeviceTables, c_eval):
 
 def _key_rows(params: CKKSParams, level: int, key_cap):
     """Physical row indices of (q_0..q_level | specials) inside a switch
-    key stored with `key_cap` (None = full basis layout)."""
+    key stored with `key_cap` (None = full basis layout).
+
+    Returns concrete numpy (level/key_cap are trace-static), so callers can
+    both index with it and recover Python ints for Pallas BlockSpec maps."""
     if key_cap is None:
-        return jnp.asarray(_rows(params, level, True))
+        return np.asarray(_rows(params, level, True), dtype=np.int32)
     assert level <= key_cap, (
         f"switch key capped at level {key_cap} used at level {level}")
     K = params.num_special
-    phys = np.concatenate([np.arange(level + 1),
+    return np.concatenate([np.arange(level + 1),
                            key_cap + 1 + np.arange(K)]).astype(np.int32)
-    return jnp.asarray(phys)
+
+
+def _ks_inner(d_eval, key_b, key_a, rows_key, q1d, qinv1d):
+    """Digit inner product sum_j d[j]*key[j] over [J, M, N] operands.
+
+    Routes to the hand-tiled Pallas kernel (core/pallas_ks.py) when
+    AESFHE_PALLAS_KS=1 and the ring tiles onto (64x128) VREG lanes;
+    otherwise the XLA j-loop.  Bit-identical either way (asserted in
+    tests/test_native.py); the flag is read at TRACE time, so flipping it
+    mid-process does not retrace already-compiled programs.
+    """
+    J = d_eval.shape[0]           # live digits at this level (<= key dnum)
+    assert J <= key_b.shape[0], (d_eval.shape, key_b.shape)
+    mode = os.environ.get("AESFHE_PALLAS_KS")
+    if (mode in ("1", "rows")
+            and d_eval.shape[-1] % (pallas_ks.SUB * pallas_ks.LANES) == 0):
+        if mode == "rows":        # DMA key rows via the index map, no copy
+            rk = np.asarray(rows_key)
+            M = len(rk)
+            # two-segment map: rk = [0..lvl, cap+1..cap+K]; recover the
+            # boundary and shift directly from the array
+            lvl = int(np.max(np.where(rk == np.arange(M), np.arange(M), -1)))
+            shift = int(rk[-1] - (M - 1))
+            assert np.array_equal(
+                rk, np.arange(M) + shift * (np.arange(M) > lvl)), rk
+            return pallas_ks.ks_inner_pallas_rows(
+                d_eval, key_b, key_a, q1d, qinv1d, lvl, shift)
+        kbg = key_b[:J, rows_key]
+        kag = key_a[:J, rows_key]
+        return pallas_ks.ks_inner_pallas(d_eval, kbg, kag, q1d, qinv1d)
+    qb = q1d.reshape((-1, 1))
+    qinv_b = qinv1d.reshape((-1, 1))
+    acc_b = acc_a = None
+    for j in range(d_eval.shape[0]):
+        kb = key_b[j][rows_key]
+        ka = key_a[j][rows_key]
+        tb = rns.mont_mul(d_eval[j], kb, qb, qinv_b)
+        ta = rns.mont_mul(d_eval[j], ka, qb, qinv_b)
+        acc_b = tb if acc_b is None else rns.add_mod(acc_b, tb, qb)
+        acc_a = ta if acc_a is None else rns.add_mod(acc_a, ta, qb)
+    return jnp.stack([acc_b, acc_a])
 
 
 @functools.partial(jax.jit, static_argnums=(0, 5))
@@ -559,18 +603,10 @@ def ks_inner_and_moddown(params: CKKSParams, tabs: DeviceTables, d_eval,
     level = M - 1 - params.num_special
     rows_b = _rows(params, level, True)
     tr_b = _tabs_rows(tabs, rows_b)
-    qb = tr_b["q"].reshape((-1, 1))
-    qinv_b = tr_b["qinv"].reshape((-1, 1))
     rows_key = _key_rows(params, level, key_cap)
-    acc_b = acc_a = None
-    for j in range(d_eval.shape[0]):
-        kb = key_b[j][rows_key]
-        ka = key_a[j][rows_key]
-        tb = rns.mont_mul(d_eval[j], kb, qb, qinv_b)
-        ta = rns.mont_mul(d_eval[j], ka, qb, qinv_b)
-        acc_b = tb if acc_b is None else rns.add_mod(acc_b, tb, qb)
-        acc_a = ta if acc_a is None else rns.add_mod(acc_a, ta, qb)
-    ba = _mod_down_specials(params, tabs, jnp.stack([acc_b, acc_a]), level)
+    acc = _ks_inner(d_eval, key_b, key_a, rows_key,
+                    tr_b["q"], tr_b["qinv"])
+    ba = _mod_down_specials(params, tabs, acc, level)
     return ba[0], ba[1]
 
 
@@ -651,19 +687,10 @@ def keyswitch(params: CKKSParams, tabs: DeviceTables, c_eval, key_b, key_a,
 
     # 4) inner product with the key (rows: active q + specials)
     rows_key = _key_rows(params, level, key_cap)
-    acc_b = None
-    acc_a = None
-    qinv_b = tr_b["qinv"].reshape((1, -1, 1))
-    for j in range(d_eval.shape[0]):
-        kb = key_b[j][rows_key]                               # [M, N]
-        ka = key_a[j][rows_key]
-        tb = rns.mont_mul(d_eval[j], kb, qb[0], qinv_b[0])
-        ta = rns.mont_mul(d_eval[j], ka, qb[0], qinv_b[0])
-        acc_b = tb if acc_b is None else rns.add_mod(acc_b, tb, qb[0])
-        acc_a = ta if acc_a is None else rns.add_mod(acc_a, ta, qb[0])
+    acc = _ks_inner(d_eval, key_b, key_a, rows_key, tr_b["q"], tr_b["qinv"])
 
     # 5) mod-down by the special primes (b and a batched through one call)
-    ba = _mod_down_specials(params, tabs, jnp.stack([acc_b, acc_a]), level)
+    ba = _mod_down_specials(params, tabs, acc, level)
     return ba[0], ba[1]
 
 

@@ -86,6 +86,43 @@ def ks_inner_pallas(d_eval, key_b, key_a, q_arr, qinv_arr):
     return out.reshape(2, M, N)
 
 
+@functools.partial(jax.jit, static_argnames=("level", "shift"))
+def ks_inner_pallas_rows(d_eval, key_b, key_a, q_arr, qinv_arr,
+                         level: int, shift: int):
+    """Like ks_inner_pallas, but the switch key stays in its stored
+    (level-capped) row layout: physical key row for logical limb m is
+    `m + shift*(m > level)` (the two-segment _key_rows map: active q
+    rows are contiguous from 0, special rows sit after the cap), resolved
+    inside the BlockSpec index map so the kernel DMAs key tiles straight
+    from HBM — no [J, M, N] gathered copy.  Pallas index maps may not
+    capture array constants, hence the affine form instead of a table.
+    """
+    J, M, N = d_eval.shape
+    R = N // LANES
+    assert R % SUB == 0, (N, "N must tile into (SUB x 128) lanes")
+    d4 = d_eval.reshape(J, M, R, LANES)
+    Mk = key_b.shape[1]
+    kb4 = key_b[:J].reshape(J, Mk, R, LANES)
+    ka4 = key_a[:J].reshape(J, Mk, R, LANES)
+
+    in_spec = pl.BlockSpec((J, 1, SUB, LANES), lambda m, r: (0, m, r, 0),
+                           memory_space=pltpu.VMEM)
+    key_spec = pl.BlockSpec((J, 1, SUB, LANES),
+                            lambda m, r: (0, m + shift * (m > level), r, 0),
+                            memory_space=pltpu.VMEM)
+    scal = pl.BlockSpec((M,), lambda m, r: (0,), memory_space=pltpu.SMEM)
+    out = pl.pallas_call(
+        _kernel,
+        grid=(M, R // SUB),
+        in_specs=[scal, scal, in_spec, key_spec, key_spec],
+        out_specs=pl.BlockSpec((2, 1, SUB, LANES),
+                               lambda m, r: (0, m, r, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((2, M, R, LANES), jnp.uint32),
+    )(q_arr, qinv_arr, d4, kb4, ka4)
+    return out.reshape(2, M, N)
+
+
 def ks_inner_xla(d_eval, key_b, key_a, q_arr, qinv_arr):
     """The XLA reference: identical math, fusion left to the compiler."""
     q = q_arr.reshape(1, -1, 1)

@@ -121,3 +121,51 @@ def test_pallas_ks_inner_bit_exact():
         pl.pallas_call = orig
         pallas_ks.ks_inner_pallas._clear_cache()
     assert np.array_equal(got, want)
+
+
+def test_pallas_ks_inner_rows_bit_exact():
+    """The zero-copy rows variant (affine key-row map in the BlockSpec,
+    PERF.md "the Pallas verdict") must match the XLA loop on a LEVEL-CAPPED
+    key layout: logical limb m reads physical key row m + shift*(m > lvl)."""
+    import functools
+    import numpy as np
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from aesfhe_tpu.core import pallas_ks
+    from aesfhe_tpu.core.params import get_params
+    from aesfhe_tpu.core import rns
+
+    p = get_params("tiny")
+    J, N = 3, 16384
+    lvl, cap, K = 3, 6, 2          # M = lvl+1+K = 6 active rows of Mk = 9
+    M = lvl + 1 + K
+    Mk = cap + 1 + K
+    rng = np.random.default_rng(7)
+    qk = np.asarray((p.all_primes * 3)[:Mk], dtype=np.uint32)
+    rows = np.concatenate([np.arange(lvl + 1),
+                           cap + 1 + np.arange(K)]).astype(np.int32)
+    qs = qk[rows]
+    qinv = np.asarray([rns.montgomery_consts(int(q))[0] for q in qs],
+                      dtype=np.uint32)
+    d = np.stack([np.stack([rng.integers(0, q, N, dtype=np.uint32)
+                            for q in qs]) for _ in range(J)])
+    kb = np.stack([np.stack([rng.integers(0, q, N, dtype=np.uint32)
+                             for q in qk]) for _ in range(J)])
+    ka = np.stack([np.stack([rng.integers(0, q, N, dtype=np.uint32)
+                             for q in qk]) for _ in range(J)])
+    want = np.asarray(pallas_ks.ks_inner_xla(
+        jnp.asarray(d), jnp.asarray(kb[:, rows]), jnp.asarray(ka[:, rows]),
+        jnp.asarray(qs), jnp.asarray(qinv)))
+    shift = int(rows[-1] - (M - 1))
+    inner = functools.partial(pl.pallas_call, interpret=True)
+    orig = pl.pallas_call
+    pl.pallas_call = inner
+    try:
+        pallas_ks.ks_inner_pallas_rows._clear_cache()
+        got = np.asarray(pallas_ks.ks_inner_pallas_rows(
+            jnp.asarray(d), jnp.asarray(kb), jnp.asarray(ka),
+            jnp.asarray(qs), jnp.asarray(qinv), lvl, shift))
+    finally:
+        pl.pallas_call = orig
+        pallas_ks.ks_inner_pallas_rows._clear_cache()
+    assert np.array_equal(got, want)
