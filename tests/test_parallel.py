@@ -1,6 +1,7 @@
 """Multi-device sharding tests on the 8-device virtual CPU mesh (conftest
 sets xla_force_host_platform_device_count=8): slot-batch DP x RNS-limb
 sharding of a real homomorphic circuit."""
+import os
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -179,11 +180,20 @@ def test_mesh_engine_bootstrap_bit_exact():
                         first_prime_bits=30, num_special_primes=4,
                         secret_hamming=8)
     eng = Engine(params, use_bootstrap=True)
-    sk = eng.create_secret_key()
-    pk = eng.create_public_key(sk)
-    rlk = eng.create_relinearization_key(sk)
-    conj = eng.create_conjugation_key(sk)
-    bk = eng.create_bootstrap_key(sk)
+    cache = os.environ.get("AESFHE_KEY_CACHE")
+    if cache:
+        from aesfhe_tpu.utils.serialization import (cached_key_family,
+                                                    cached_bootstrap_key)
+        fam = cached_key_family(eng, cache, rotation_steps=())
+        sk, pk = fam["secret"], fam["public"]
+        rlk, conj = fam["relin"], fam["conj"]
+        bk = cached_bootstrap_key(eng, sk, cache)
+    else:
+        sk = eng.create_secret_key()
+        pk = eng.create_public_key(sk)
+        rlk = eng.create_relinearization_key(sk)
+        conj = eng.create_conjugation_key(sk)
+        bk = eng.create_bootstrap_key(sk)
     mesh = Mesh(np.asarray(jax.devices()[:8]), ("limb",))
     meng = MeshEngine(params, mesh=mesh, use_bootstrap=True)
 
